@@ -1,0 +1,44 @@
+"""Discrete Frechet distance, jitted.
+
+Spec: reference ``frechet/distance.py:8-56`` — DP over the pairwise L2
+distance matrix with max/min recurrence. Here the DP runs as a
+``lax.scan`` over rows, each row updated by a ``lax.scan`` (associative in
+neither direction, so the inner scan is the natural formulation); curves are
+short (<= ~30 points), and a batch of curves vmaps into one program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def frechet_distance(true_coords: jnp.ndarray, pred_coords: jnp.ndarray) -> jnp.ndarray:
+    """Discrete Frechet distance between two curves of shape (n, d), (m, d)."""
+    dist = jnp.sqrt(jnp.sum(
+        (true_coords[:, None, :] - pred_coords[None, :, :]) ** 2, axis=-1))
+
+    # first row of the DP table: running max along row 0
+    row0 = jax.lax.associative_scan(jnp.maximum, dist[0])
+
+    def row_step(prev_row, d_row):
+        # first column: max of column path
+        c0 = jnp.maximum(prev_row[0], d_row[0])
+
+        def cell(carry, x):
+            left = carry              # cost[i, j-1]
+            up, diag, d = x           # cost[i-1, j], cost[i-1, j-1], dist[i, j]
+            c = jnp.maximum(jnp.minimum(jnp.minimum(left, up), diag), d)
+            return c, c
+
+        ups = prev_row[1:]
+        diags = prev_row[:-1]
+        _, rest = jax.lax.scan(cell, c0, (ups, diags, d_row[1:]))
+        row = jnp.concatenate([c0[None], rest])
+        return row, None
+
+    last_row, _ = jax.lax.scan(row_step, row0, dist[1:])
+    return last_row[-1]
+
+
+frechet_distance_batched = jax.vmap(frechet_distance, in_axes=(0, 0))
