@@ -1,0 +1,235 @@
+"""Per-gene parameter estimation ("normest").
+
+Spec: reference ``paramest/normest.py:22-563`` — for each gene:
+
+1. a lambda-regularization line search over ``logspace(-2, 0, 10)``, each
+   lambda tried against every weight scheme, scored by the composite
+   :func:`score_fit` (reference runs this as a 10-process pool x 17
+   sequential curve_fits);
+2. a 48-start multistart TRF fit with jitter + stratified (LHS-like)
+   sampling at the winning (lambda, weight);
+3. L2 regularization as appended pseudo-residuals ``lam/n_p * theta^2``;
+4. the random model is fitted in log-parameter space (exp() to physical);
+5. optional bootstrap (multiplicative 5% Gaussian noise on the target);
+6. Wald confidence intervals.
+
+TPU-native architecture: steps 1+2 are each ONE vmapped Levenberg-Marquardt
+batch — the (lambda x weight) grid and the multistart cloud are batch axes,
+not processes. The per-gene reproducible seeding (seed + gene hash,
+reference normest.py:226-228) is preserved.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phoskintime_tpu.fit.ci import confidence_intervals
+from phoskintime_tpu.fit.score import score_fit
+from phoskintime_tpu.models.kinetics import n_params, solve_ode
+from phoskintime_tpu.models.weights import early_emphasis, get_weight_options
+from phoskintime_tpu.ops.lm import levenberg_marquardt
+
+
+def build_bounds(bounds: dict, num_psites: int, model: str):
+    """Free-parameter bounds (reference normest.py:350-383).
+
+    dist/succ: [A, B, C, D, S*n, D*n] in linear space.
+    randmod:   [A, B, C, D, S*n, Ddeg*(2^n - 1)] in LOG space.
+    """
+    lo = [bounds["A"][0], bounds["B"][0], bounds["C"][0], bounds["D"][0]]
+    hi = [bounds["A"][1], bounds["B"][1], bounds["C"][1], bounds["D"][1]]
+    lo += [bounds["S(i)"][0]] * num_psites
+    hi += [bounds["S(i)"][1]] * num_psites
+    if model == "randmod":
+        m = (1 << num_psites) - 1
+        lo += [bounds["D(i)"][0]] * m
+        hi += [bounds["D(i)"][1]] * m
+        eps = 1e-8
+        lo = [np.log(max(b, eps)) for b in lo]
+        hi = [np.log(max(b, eps)) for b in hi]
+    else:
+        lo += [bounds["D(i)"][0]] * num_psites
+        hi += [bounds["D(i)"][1]] * num_psites
+    return np.asarray(lo, float), np.asarray(hi, float)
+
+
+def _multistart_p0(base: np.ndarray, lb: np.ndarray, ub: np.ndarray,
+                   n_starts: int, jitter_frac: float, rng: np.random.Generator):
+    """Jitter + stratified-uniform start cloud (reference normest.py:229-264)."""
+    p0s = [np.clip(base, lb, ub)]
+    span = np.where(ub - lb > 0, ub - lb, 1.0)
+    for _ in range(max(0, n_starts // 3)):
+        cand = base + jitter_frac * span * rng.normal(size=base.shape)
+        p0s.append(np.clip(cand, lb, ub))
+    remaining = max(0, n_starts - len(p0s))
+    if remaining > 0:
+        d = base.shape[0]
+        U = np.empty((remaining, d))
+        for j in range(d):
+            u = (np.arange(remaining) + rng.random(remaining)) / float(remaining)
+            rng.shuffle(u)
+            U[:, j] = u
+        p0s.extend(lb + U * (ub - lb))
+    return np.stack(p0s)
+
+
+class NormestResult(NamedTuple):
+    params: np.ndarray           # physical-space best-fit parameters
+    popt_raw: np.ndarray         # optimizer-space parameters (log for randmod)
+    pcov: np.ndarray
+    sol: np.ndarray              # (T, d) final trajectory
+    fit: np.ndarray              # fit vector at best params
+    error: float                 # mean squared error vs target
+    score: float
+    lambda_reg: float
+    weight_name: str
+    regularization_term: float
+    ci: dict | None
+    boot_params: np.ndarray | None
+
+
+def normest(gene: str,
+            pr_data: np.ndarray,
+            p_data: np.ndarray,
+            r_data: np.ndarray,
+            init_cond: np.ndarray,
+            num_psites: int,
+            time_points: np.ndarray,
+            bounds: dict,
+            bootstraps: int = 0,
+            model: str = "distmod",
+            use_regularization: bool = True,
+            ms_gauss_weights: np.ndarray | None = None,
+            use_custom_weights: bool = False,
+            n_starts: int = 48,
+            jitter_frac: float = 0.10,
+            lambdas: np.ndarray | None = None,
+            seed: int = 42,
+            lm_iters: int = 80,
+            alpha_ci: float = 0.95) -> NormestResult:
+    """Estimate one gene's kinetic parameters (fully batched on device)."""
+    if lambdas is None:
+        lambdas = np.logspace(-2, 0, 10)
+
+    lb, ub = build_bounds(bounds, num_psites, model)
+    npar = n_params(model, num_psites)
+    assert lb.shape[0] == npar
+
+    # reproducible seeds: global seed for the base p0 (reference uses
+    # np.random.seed(42)), gene-hash-diversified stream for the multistart
+    rng0 = np.random.default_rng(seed)
+    base_p0 = rng0.uniform(lb, ub)
+    gene_hash = sum(ord(c) for c in str(gene)) % 1000003
+    rng = np.random.default_rng(int(seed + gene_hash))
+
+    target = np.concatenate([np.asarray(r_data, float).ravel(),
+                             np.asarray(pr_data, float).ravel(),
+                             np.asarray(p_data, float).ravel()])
+    reg_len = npar if use_regularization else 0
+    target_fit = (np.concatenate([target, np.zeros(npar)])
+                  if use_regularization else target)
+
+    # weight library
+    early_w = early_emphasis(pr_data, p_data, time_points, num_psites)
+    weight_options = get_weight_options(
+        target, time_points, num_psites, use_regularization, reg_len,
+        early_w, ms_gauss_weights, use_custom_weights=use_custom_weights)
+    weight_names = list(weight_options.keys())
+    sigmas = np.stack([weight_options[k] for k in weight_names])  # (W, m)
+
+    t = jnp.asarray(time_points, float)
+    y0 = jnp.asarray(init_cond, float)
+    tgt_fit_j = jnp.asarray(target_fit)
+    tgt_j = jnp.asarray(target)
+    lb_j, ub_j = jnp.asarray(lb), jnp.asarray(ub)
+    is_log = model == "randmod"
+
+    def model_fit_vec(p):
+        pv = jnp.exp(p) if is_log else p
+        _, fit = solve_ode(pv, y0, num_psites, t, model=model)
+        return fit
+
+    def residual(p, lam, sigma):
+        y_model = model_fit_vec(p)
+        if use_regularization:
+            reg = lam / npar * jnp.square(p)
+            y_model = jnp.concatenate([y_model, reg])
+        return (y_model - tgt_fit_j) / sigma
+
+    def score_of(p):
+        pv = jnp.exp(p) if is_log else p
+        pred = model_fit_vec(p)
+        return score_fit(pv, tgt_j, pred)
+
+    def fit_one(p0, lam, sigma):
+        res = levenberg_marquardt(lambda p: residual(p, lam, sigma),
+                                  p0, lb_j, ub_j, max_iters=lm_iters)
+        return res.p, res.pcov, score_of(res.p)
+
+    # ---- stage 1: (lambda x weight) grid from the base start -------------
+    L, W = len(lambdas), len(weight_names)
+    lam_grid = jnp.asarray(np.repeat(lambdas, W))
+    sig_grid = jnp.asarray(np.tile(sigmas, (L, 1)))
+    stage1 = jax.jit(jax.vmap(fit_one, in_axes=(None, 0, 0)))
+    _, _, scores1 = stage1(jnp.asarray(base_p0), lam_grid, sig_grid)
+    scores1 = np.asarray(scores1)
+    scores1 = np.where(np.isfinite(scores1), scores1, np.inf)
+    k_best = int(np.argmin(scores1))
+    lambda_reg = float(lambdas[k_best // W])
+    weight_name = weight_names[k_best % W]
+    sigma_best = jnp.asarray(sigmas[k_best % W])
+
+    # ---- stage 2: multistart at the winning (lambda, weight) -------------
+    p0s = jnp.asarray(_multistart_p0(base_p0, lb, ub, n_starts, jitter_frac, rng))
+    stage2 = jax.jit(jax.vmap(fit_one, in_axes=(0, None, None)))
+    popts, pcovs, scores2 = stage2(p0s, jnp.asarray(lambda_reg), sigma_best)
+    scores2 = np.asarray(scores2)
+    scores2 = np.where(np.isfinite(scores2), scores2, np.inf)
+    i_best = int(np.argmin(scores2))
+    popt = np.asarray(popts[i_best])
+    pcov = np.asarray(pcovs[i_best])
+    best_score = float(scores2[i_best])
+
+    # ---- bootstrap (optional): one more batch axis ------------------------
+    boot_params = None
+    if bootstraps > 0:
+        noise = rng.normal(0, 0.05, size=(bootstraps,) + target_fit.shape)
+        noisy = jnp.asarray(target_fit[None] * (1 + noise))
+
+        def fit_boot(tgt_b):
+            def res_b(p):
+                y_model = model_fit_vec(p)
+                if use_regularization:
+                    reg = lambda_reg / npar * jnp.square(p)
+                    y_model = jnp.concatenate([y_model, reg])
+                return (y_model - tgt_b) / sigma_best
+            r = levenberg_marquardt(res_b, jnp.asarray(popt), lb_j, ub_j,
+                                    max_iters=lm_iters)
+            return r.p, r.pcov
+
+        bp, bc = jax.jit(jax.vmap(fit_boot))(noisy)
+        boot_params = np.asarray(bp)
+        popt = boot_params.mean(axis=0)
+        pcov = np.asarray(bc).mean(axis=0)
+
+    # ---- finalize ----------------------------------------------------------
+    param_final = np.exp(popt) if is_log else popt
+    sol, fit = solve_ode(jnp.asarray(param_final), y0, num_psites, t, model=model)
+    sol, fit = np.asarray(sol), np.asarray(fit)
+    error = float(np.sum(np.abs(fit - target) ** 2) / target.size)
+    regularization_term = lambda_reg / npar * float(np.sum(param_final ** 2))
+
+    model_at_popt = np.asarray(residual(jnp.asarray(popt),
+                                        jnp.asarray(lambda_reg),
+                                        jnp.ones_like(tgt_fit_j)) + tgt_fit_j)
+    ci = confidence_intervals(param_final, pcov, target_fit, model_at_popt,
+                              alpha_val=1 - alpha_ci,
+                              use_custom_weights=use_custom_weights)
+
+    return NormestResult(param_final, popt, pcov, sol, fit, error, best_score,
+                         lambda_reg, weight_name, regularization_term, ci,
+                         boot_params)

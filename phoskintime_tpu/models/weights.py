@@ -1,0 +1,168 @@
+"""Per-gene fitting weight (sigma) schemes.
+
+Spec: reference ``models/weights.py:10-240`` — 17 named weighting schemes
+over the stacked target vector [rna(9), protein(14), sites(14*n)], an
+"early emphasis" kernel, and MS-Gaussian measurement-std weights read from
+``input1_wstd.csv``.
+
+Notes on deviations (deliberate bug fixes):
+* The reference builds the time-index-based schemes with
+  ``tile(arange(1, 15), num_psites)`` which is 14 entries short of the
+  target (it omits the protein block), crashing ``curve_fit`` whenever
+  custom weights are enabled; we tile ``num_psites + 1`` blocks so every
+  scheme has consistent length.
+* All schemes are plain arrays (host-side, computed once per gene), so no
+  JIT is needed here; they feed the batched LM as per-residual sigmas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N_RNA = 9  # RNA timepoints precede the protein/site blocks in the target
+
+
+def early_emphasis(pr_data: np.ndarray, p_data: np.ndarray,
+                   time_points: np.ndarray, num_psites: int) -> np.ndarray:
+    """Early-timepoint emphasis weights (reference weights.py:10-76).
+
+    Returns a vector of length ``n_times * (1 + num_psites)``:
+    protein weights first, then per-site weights.
+    """
+    p_data = np.atleast_2d(np.asarray(p_data, float))
+    pr_data = np.atleast_2d(np.asarray(pr_data, float))
+    n_times = len(time_points)
+
+    time_diffs = np.zeros(n_times)
+    time_diffs[1:] = np.diff(np.asarray(time_points, float))
+    time_w = np.where(np.arange(n_times) > 0, 1.0 / (time_diffs + 1e-5), 1.0)
+
+    early = np.arange(n_times) < 8
+    weights_pr = np.where(
+        early, (1.0 / (np.abs(pr_data[0]) + 1e-5)) * time_w,
+        1.0 / (np.abs(pr_data[0]) + 1e-5))
+
+    weights_p = np.where(
+        early[None, :],
+        (1.0 / (np.abs(p_data[:num_psites]) + 1e-5)) * time_w[None, :],
+        1.0 / (np.abs(p_data[:num_psites]) + 1e-5))
+
+    return np.concatenate([weights_pr, weights_p.reshape(-1)])
+
+
+def full_weight(p_data_weight: np.ndarray, use_regularization: bool,
+                reg_len: int) -> np.ndarray:
+    """Prepend unit RNA weights; append unit regularization weights
+    (reference weights.py:148-163)."""
+    base = np.concatenate([np.ones(N_RNA), np.asarray(p_data_weight, float)])
+    if use_regularization:
+        base = np.concatenate([base, np.ones(reg_len)])
+    return base
+
+
+def get_weight_options(target: np.ndarray, t_target: np.ndarray,
+                       num_psites: int, use_regularization: bool,
+                       reg_len: int, early_weights: np.ndarray,
+                       ms_gauss_weights: np.ndarray | None,
+                       use_custom_weights: bool = True) -> dict[str, np.ndarray]:
+    """The 17-scheme weight library (reference weights.py:166-240)."""
+    target = np.asarray(target, float)
+    nt = len(t_target)
+    # one block per signal chain: protein + each site (bug-fixed length)
+    time_indices = np.tile(np.arange(1, nt + 1), num_psites + 1).astype(float)
+
+    log_scale = np.log1p(np.abs(target))
+    sqrt_signal = np.sqrt(np.maximum(np.abs(target), 1e-5))
+
+    if len(target) >= 2:
+        grad = np.gradient(target)
+        flat_region_penalty = 1 / np.maximum(np.abs(grad), 1e-5)
+    else:
+        flat_region_penalty = 1 / np.maximum(np.abs(target), 1e-5)
+
+    fw = lambda w: full_weight(w, use_regularization, reg_len)
+    sig = target[N_RNA:]
+
+    base_weights = {
+        "inverse": fw(1 / np.maximum(np.abs(sig), 1e-5)),
+        "exponential_decay": fw(np.exp(-0.5 * sig)),
+        "inverse_log_scale": fw(1 / np.maximum(log_scale[N_RNA:], 1e-5)),
+        "inverse_time_diff": fw(1 / np.maximum(
+            np.abs(np.diff(sig, prepend=sig[0])), 1e-5)),
+        "inverse_moving_avg": fw(1 / np.maximum(
+            np.abs(sig - _uniform_filter1d(sig, 3)), 1e-5)),
+        "sigmoid_decay": fw(1 / (1 + np.exp(time_indices - 5))),
+        "exponential_early_decay": fw(np.exp(-0.5 * time_indices)),
+        "polynomial_time_decay": fw(1 / (1 + 0.5 * time_indices)),
+        "signal_noise": fw(1 / sqrt_signal[N_RNA:]),
+        "inverse_variance": fw(1 / (np.maximum(np.abs(sig), 1e-5) ** 0.7)),
+        "flat_penalty": fw(flat_region_penalty[N_RNA:]),
+        "steady_decay": fw(np.exp(-0.1 * time_indices)),
+        "inverse_square_root_data": fw(1 / sqrt_signal[N_RNA:]),
+        "early_moderate_decay": fw(np.linspace(1.0, 0.3, len(time_indices))),
+        "early_steep_decay": fw(np.concatenate([
+            np.full(min(8, len(time_indices)), 0.05),
+            np.full(min(2, max(len(time_indices) - 8, 0)), 0.2),
+            np.ones(max(len(time_indices) - 10, 0)),
+        ])),
+        "early_emphasis": fw(early_weights),
+    }
+    if ms_gauss_weights is not None:
+        base_weights["uncertainties_from_data"] = fw(ms_gauss_weights)
+
+    if not use_custom_weights:
+        if "uncertainties_from_data" in base_weights:
+            return {"uncertainties_from_data": base_weights["uncertainties_from_data"]}
+        return {"inverse": base_weights["inverse"]}
+    return base_weights
+
+
+def _uniform_filter1d(x: np.ndarray, size: int) -> np.ndarray:
+    """Centered moving average with edge replication (scipy-compatible
+    'nearest' mode for odd sizes)."""
+    half = size // 2
+    xp = np.concatenate([np.repeat(x[:1], half), x, np.repeat(x[-1:], half)])
+    kernel = np.ones(size) / size
+    return np.convolve(xp, kernel, mode="valid")
+
+
+def get_protein_weights(gene: str, input1_wstd, input2) -> np.ndarray:
+    """MS-Gaussian std weights for one gene (reference weights.py:79-145).
+
+    Args:
+      gene: HGNC gene id.
+      input1_wstd: DataFrame with columns [GeneID, Psite, x1_std..x14_std].
+      input2: DataFrame with columns [GeneID, Psite, ...] defining which
+        sites belong to the gene.
+
+    Returns flattened weights: protein row first, then site rows.
+    """
+    import pandas as pd
+
+    i1 = input1_wstd.copy()
+    i2 = input2.copy()
+    i1.columns = i1.columns.str.strip()
+    i2.columns = i2.columns.str.strip()
+    i1["Psite"] = i1["Psite"].replace("", pd.NA)
+    gene_rows = i2[i2["GeneID"] == gene].copy()
+    if gene_rows.empty:
+        raise ValueError(f"No entries for GeneID {gene} in input2")
+    gene_rows["Psite"] = gene_rows["Psite"].replace("", pd.NA)
+
+    merged = pd.merge(gene_rows, i1, on=["GeneID", "Psite"], how="left")
+    std_cols = [f"x{i}_std" for i in range(1, 15)]
+    if merged[std_cols].isnull().any().any():
+        missing = merged[merged[std_cols].isnull().any(axis=1)][["GeneID", "Psite"]]
+        raise ValueError(f"Missing (GeneID, Psite) std rows for {gene}:\n{missing}")
+
+    # protein (Psite == NA) row first if present in input1 but not input2
+    tf_row = i1[(i1["GeneID"] == gene) & (i1["Psite"].isna())]
+    parts = []
+    if len(tf_row) == 1:
+        parts.append(tf_row[std_cols].to_numpy())
+    prot = merged[merged["Psite"].isna()][std_cols].to_numpy()
+    phos = merged[merged["Psite"].notna()][std_cols].to_numpy()
+    if len(parts) == 0 and len(prot):
+        parts.append(prot)
+    parts.append(phos)
+    return np.concatenate([p.reshape(-1) for p in parts])
