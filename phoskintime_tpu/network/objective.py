@@ -1,0 +1,114 @@
+"""Three-objective loss + prior penalty; vmapped population evaluation.
+
+Spec: reference ``global_model/lossfn.py:113-386`` (gather-based robust
+3-modality loss) and ``global_model/optproblem.py:31-160`` (GlobalODE_MOO:
+weight-sum normalization, relative prior-adherence penalty added to all
+objectives, fail_value on solver failure).
+
+TPU-native: one candidate evaluation = unpack softplus params -> RK45
+simulate -> gathers + robust loss. A whole population is ``vmap`` over the
+raw-theta axis — the reference's 300-process pool becomes one XLA program,
+shardable over a device mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from phoskintime_tpu.network.simulate import extract_observables, simulate
+from phoskintime_tpu.ops.losses import robust_loss
+
+EPS = 1e-9
+
+
+def modality_losses(obs_tuple, loss_data, loss_mode: int):
+    """(loss_protein, loss_rna, loss_phospho) raw weighted sums."""
+    R, TOT, PHO = obs_tuple
+    lf = robust_loss(loss_mode)
+    ld = loss_data
+
+    def one(sig, base_idx, p_idx, t_idx, extra_idx, obs, w):
+        if extra_idx is None:
+            cur = sig[t_idx, p_idx]
+            base = sig[base_idx, p_idx]
+        else:
+            cur = sig[t_idx, p_idx, extra_idx]
+            base = sig[base_idx, p_idx, extra_idx]
+        pred_fc = jnp.maximum(cur, EPS) / jnp.maximum(base, EPS)
+        diff = obs - pred_fc
+        return jnp.sum(w * lf(diff, pred_fc, obs))
+
+    loss_p = one(TOT, ld.prot_base_idx, jnp.asarray(ld.p_prot),
+                 jnp.asarray(ld.t_prot), None,
+                 jnp.asarray(ld.obs_prot), jnp.asarray(ld.w_prot))
+    loss_r = one(R, ld.rna_base_idx, jnp.asarray(ld.p_rna),
+                 jnp.asarray(ld.t_rna), None,
+                 jnp.asarray(ld.obs_rna), jnp.asarray(ld.w_rna))
+    loss_ph = one(PHO, ld.pho_base_idx, jnp.asarray(ld.p_pho),
+                  jnp.asarray(ld.t_pho), jnp.asarray(ld.s_pho),
+                  jnp.asarray(ld.obs_pho), jnp.asarray(ld.w_pho))
+    return loss_p, loss_r, loss_ph
+
+
+def make_objective(system, slices, loss_data, defaults, lambdas, time_grid,
+                   loss_mode=0, fail_value=1e12, rtol=1e-5, atol=1e-7,
+                   max_steps=5000, y0=None):
+    """Build ``objective(theta) -> (3,) objectives`` (jit/vmap-ready).
+
+    theta is the raw (softplus-space) decision vector; lambdas is a dict
+    with 'protein'/'rna'/'phospho'/'prior' weights.
+    """
+    from phoskintime_tpu.network.params import unpack_params
+
+    norm_p = 1.0 / max(1e-6, float(loss_data.w_prot.sum()))
+    norm_r = 1.0 / max(1e-6, float(loss_data.w_rna.sum()))
+    norm_ph = 1.0 / max(1e-6, float(loss_data.w_pho.sum()))
+    t_eval = jnp.asarray(time_grid)
+    defaults_j = {k: jnp.asarray(v) for k, v in defaults.items()}
+
+    def objective(theta):
+        p = unpack_params(theta, slices, system.topo)
+
+        # prior adherence: mean squared relative deviation from defaults
+        # over protein-level params (reference optproblem.py:102-114)
+        acc, cnt = 0.0, 0
+        for k in ["A_i", "B_i", "C_i", "D_i", "E_i"]:
+            diff = (p[k] - defaults_j[k]) / (defaults_j[k] + 1e-6)
+            acc = acc + jnp.sum(diff ** 2)
+            cnt += diff.size
+        prior_penalty = lambdas["prior"] * acc / max(1, cnt)
+
+        res = simulate(system, p, t_eval, rtol=rtol, atol=atol,
+                       max_steps=max_steps, y0=y0)
+        obs = extract_observables(system, res.ys, res.success)
+        lp, lr, lph = modality_losses((obs.R, obs.TOT, obs.PHO),
+                                      loss_data, loss_mode)
+
+        F = jnp.stack([
+            lp * norm_p * lambdas["protein"] + prior_penalty,
+            lr * norm_r * lambdas["rna"] + prior_penalty,
+            lph * norm_ph * lambdas["phospho"] + prior_penalty,
+        ])
+        ok = res.success & jnp.all(jnp.isfinite(F))
+        return jnp.where(ok, F, jnp.full((3,), fail_value, F.dtype))
+
+    return objective
+
+
+def evaluate_population(objective, thetas, mesh=None):
+    """Evaluate a (P, n) population; optionally sharded over a mesh axis.
+
+    With a mesh, the population axis is sharded across devices via
+    NamedSharding — XLA partitions the vmapped program (this replaces the
+    reference's multiprocessing starmap over 80 cores).
+    """
+    f = jax.vmap(objective)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        thetas = jax.device_put(thetas, NamedSharding(mesh, P("pop", None)))
+        f = jax.jit(f, in_shardings=NamedSharding(mesh, P("pop", None)),
+                    out_shardings=NamedSharding(mesh, P("pop", None)))
+    else:
+        f = jax.jit(f)
+    return f(thetas)
