@@ -1,0 +1,188 @@
+"""Global network fit driver: population search + refinement + selection.
+
+Spec: reference ``global_model/runner.py:615-860`` — UNSGA3 (pop 300,
+das-dennis partitions=20, SBX 0.9/15, PM 1/n/10, LHS, sliding ftol) or
+Optuna MOTPE (n_trials, pruning on crash), optional iterative bound-zoom
+refinement (``refine.py:32-357``), and Frechet-distance solution picking
+per modality (``runner.py:775-858``).
+
+TPU-native: the evaluate callable wraps the vmapped objective (optionally
+sharded over a device Mesh); GA bookkeeping is host-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phoskintime_tpu.network.objective import evaluate_population, make_objective
+from phoskintime_tpu.network.params import unpack_params
+from phoskintime_tpu.network.simulate import simulate_and_measure
+from phoskintime_tpu.ops.frechet import frechet_distance
+from phoskintime_tpu.ops.nsga import MOOResult, lhs_sampling, run_unsga3
+from phoskintime_tpu.ops.tpe import run_motpe
+
+
+def make_batched_evaluate(objective, mesh=None, pad_to: int | None = None):
+    """numpy (P, n) -> (P, 3) evaluator around the jitted vmapped objective.
+
+    Pads the population to a fixed multiple so XLA compiles once (and the
+    mesh divides the batch evenly)."""
+    def evaluate(X):
+        X = np.asarray(X, float)
+        P = len(X)
+        Ppad = P
+        if pad_to is not None:
+            Ppad = int(np.ceil(P / pad_to) * pad_to)
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            Ppad = int(np.ceil(Ppad / n_dev) * n_dev)
+        if Ppad != P:
+            X = np.vstack([X, np.repeat(X[-1:], Ppad - P, axis=0)])
+        F = np.asarray(evaluate_population(objective, jnp.asarray(X), mesh=mesh))
+        return F[:P]
+    return evaluate
+
+
+@dataclass
+class GlobalFitResult:
+    X: np.ndarray
+    F: np.ndarray
+    pareto_X: np.ndarray
+    pareto_F: np.ndarray
+    best_idx: int                 # Frechet-picked solution index (into pareto)
+    frechet_scores: np.ndarray
+    history: list
+    n_evals: int
+
+
+def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
+                   xl, xu, *, optimizer="pymoo", pop=300, n_gen=1000,
+                   n_trials=1000, seed=42, loss_mode=0, mesh=None,
+                   rtol=1e-5, atol=1e-7, max_steps=5000, y0=None,
+                   refine=False, num_refinements=0, refine_padding=0.25,
+                   frechet_pick=True, df_prot=None, df_rna=None, df_pho=None,
+                   t_points=None, callback=None, logger=None,
+                   ftol=0.0025, ftol_period=30,
+                   n_max_evals=100_000) -> GlobalFitResult:
+    """End-to-end global fit (the runner.main optimization core)."""
+    objective = make_objective(system, slices, loss_data, defaults, lambdas,
+                               time_grid, loss_mode=loss_mode, rtol=rtol,
+                               atol=atol, max_steps=max_steps, y0=y0)
+    evaluate = make_batched_evaluate(objective, mesh=mesh)
+
+    if optimizer == "optuna":
+        pX, pF, sampler = run_motpe(evaluate, xl, xu, n_trials=n_trials,
+                                    seed=seed)
+        X_all = np.asarray(sampler.X)
+        F_all = np.asarray(sampler.F)
+        res = MOOResult(X_all, F_all, pX, pF, [], 0, len(X_all))
+    else:
+        res = run_unsga3(evaluate, xl, xu, pop_size=pop, n_gen=n_gen,
+                         seed=seed, callback=callback, logger=logger,
+                         verbose=logger is not None,
+                         ftol=ftol, ftol_period=ftol_period,
+                         n_max_evals=n_max_evals)
+
+    # ---- iterative refinement (bound zoom + warm start) -------------------
+    if refine and num_refinements > 0:
+        rng = np.random.default_rng(seed + 1)
+        cur = res
+        cur_xl, cur_xu = np.asarray(xl, float), np.asarray(xu, float)
+        for _ in range(num_refinements):
+            new_xl, new_xu = get_refined_bounds(cur.pareto_X, cur_xl, cur_xu,
+                                                padding=refine_padding)
+            x0 = create_multistart_population(cur.pareto_X, pop, new_xl,
+                                              new_xu, rng)
+            nxt = run_unsga3(evaluate, new_xl, new_xu, pop_size=pop,
+                             n_gen=max(10, n_gen // 4), seed=seed + 2,
+                             x0=x0, ftol=ftol, ftol_period=ftol_period)
+            if nxt.pareto_F.min(axis=0).sum() >= cur.pareto_F.min(axis=0).sum():
+                break  # no improvement -> stop refining
+            cur, cur_xl, cur_xu = nxt, new_xl, new_xu
+        res = cur
+
+    # ---- Frechet-distance solution picking --------------------------------
+    best_idx, scores = 0, np.zeros(len(res.pareto_X))
+    if frechet_pick and df_prot is not None and t_points is not None:
+        best_idx, scores = pick_solution_frechet(
+            system, slices, res.pareto_X, df_prot, df_rna, df_pho,
+            t_points, lambdas)
+
+    return GlobalFitResult(res.X, res.F, res.pareto_X, res.pareto_F,
+                           best_idx, scores, res.history, res.n_evals)
+
+
+# ---------------------------------------------------------------------------
+# refinement helpers (reference refine.py:32-165)
+# ---------------------------------------------------------------------------
+
+def get_refined_bounds(X, current_xl, current_xu, padding=0.2):
+    """Zoom bounds to the Pareto spread +/- padding, clamped to the originals."""
+    X = np.asarray(X, float)
+    p_min, p_max = X.min(axis=0), X.max(axis=0)
+    span = np.maximum(p_max - p_min, 1e-2)
+    new_xl = np.maximum(p_min - span * padding, current_xl)
+    new_xu = np.minimum(p_max + span * padding, current_xu)
+    return new_xl, new_xu
+
+
+def create_multistart_population(X_best, pop_size, new_xl, new_xu, rng):
+    """50% warm start (best individuals, noise-duplicated) + 50% fresh."""
+    X_best = np.asarray(X_best, float)
+    n_best = len(X_best)
+    n_warm = pop_size // 2
+    if n_best >= n_warm:
+        X_warm = X_best[rng.choice(n_best, n_warm, replace=False)]
+    else:
+        extra = rng.integers(0, n_best, n_warm - n_best)
+        noise = rng.normal(0, 0.05, (n_warm - n_best, X_best.shape[1])) * (new_xu - new_xl)
+        X_warm = np.vstack([X_best, X_best[extra] + noise])
+    X_warm = np.clip(X_warm, new_xl, new_xu)
+    X_fresh = lhs_sampling(pop_size - n_warm, new_xl, new_xu, rng)
+    return np.vstack([X_warm, X_fresh])
+
+
+# ---------------------------------------------------------------------------
+# Frechet-distance solution picking (reference runner.py:775-858)
+# ---------------------------------------------------------------------------
+
+def pick_solution_frechet(system, slices, pareto_X, df_prot, df_rna, df_pho,
+                          t_points, lambdas):
+    """Pick the Pareto member minimizing the weighted sum of per-curve
+    discrete Frechet distances across modalities."""
+    tp_p, tp_r, tp_ph = t_points
+    scores = np.zeros(len(pareto_X))
+    fdist = jax.jit(frechet_distance)
+
+    def curves(df, dfp, key_cols, valcol, predcol):
+        out = []
+        if df is None or len(df) == 0:
+            return out
+        for key, obs_g in df.groupby(key_cols):
+            sel = dfp
+            for c, v in zip(key_cols if isinstance(key, tuple) else [key_cols[0]],
+                            key if isinstance(key, tuple) else [key]):
+                sel = sel[sel[c] == v]
+            obs = obs_g.sort_values("time")[["time", valcol]].to_numpy(float)
+            pred = sel.sort_values("time")[["time", predcol]].to_numpy(float)
+            if len(obs) > 1 and len(pred) > 1:
+                out.append((obs, pred))
+        return out
+
+    for i, theta in enumerate(np.asarray(pareto_X, float)):
+        p = unpack_params(jnp.asarray(theta), slices, system.topo)
+        dfp, dfr, dfph = simulate_and_measure(system, p, tp_p, tp_r, tp_ph)
+        total = 0.0
+        for df, dfx, keys, lam in [
+                (df_prot, dfp, ["protein"], lambdas["protein"]),
+                (df_rna, dfr, ["protein"], lambdas["rna"]),
+                (df_pho, dfph, ["psite"], lambdas["phospho"])]:
+            for obs, pred in curves(df, dfx, keys, "fc", "pred_fc"):
+                total += lam * float(fdist(jnp.asarray(obs), jnp.asarray(pred)))
+        scores[i] = total
+
+    return int(np.argmin(scores)), scores

@@ -1,0 +1,435 @@
+"""Evolutionary multi-objective optimizers: UNSGA3, NSGA-II, DE.
+
+Behavioral spec: the reference drives pymoo's UNSGA3 for the global fit
+(``global_model/runner.py:663-702``: das-dennis partitions=20, LHS
+sampling, SBX(prob=0.9, eta=15), PM(prob=1/n, eta=10), duplicate
+elimination), NSGA-II / DE for kinopt (``kinopt/evol/opt/optrun.py``) and
+UNSGA3/SMSEMOA/AGEMOEA for tfopt. pymoo is not available here, so the
+algorithms are re-implemented from their published definitions
+(Deb & Jain 2014 NSGA-III; Seada & Deb 2016 U-NSGA-III; Deb et al. 2002
+NSGA-II; Storn & Price 1997 DE).
+
+Architecture: GA bookkeeping (sorting, niching, operators) is cheap
+host-side numpy over pop <= a few thousand; the expensive part — the
+population evaluation — is a user-supplied batched callable that runs as
+ONE jitted/sharded XLA program on the device mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from itertools import combinations
+from typing import Callable
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# reference directions / sampling
+# ---------------------------------------------------------------------------
+
+def das_dennis(n_obj: int, n_partitions: int) -> np.ndarray:
+    """Das-Dennis simplex lattice reference directions."""
+    if n_partitions == 0:
+        return np.full((1, n_obj), 1.0 / n_obj)
+    out = []
+    for c in combinations(range(n_partitions + n_obj - 1), n_obj - 1):
+        c = np.asarray(c)
+        prev = np.concatenate([[-1], c])
+        counts = np.diff(prev) - 1
+        counts = np.append(counts, n_partitions + n_obj - 2 - (c[-1] if len(c) else -1))
+        out.append(counts / n_partitions)
+    return np.asarray(out)
+
+
+def lhs_sampling(n: int, xl: np.ndarray, xu: np.ndarray,
+                 rng: np.random.Generator) -> np.ndarray:
+    """Latin hypercube sampling in [xl, xu]."""
+    d = len(xl)
+    U = np.empty((n, d))
+    for j in range(d):
+        u = (np.arange(n) + rng.random(n)) / n
+        rng.shuffle(u)
+        U[:, j] = u
+    return xl + U * (xu - xl)
+
+
+# ---------------------------------------------------------------------------
+# dominance machinery
+# ---------------------------------------------------------------------------
+
+def fast_non_dominated_sort(F: np.ndarray) -> list[np.ndarray]:
+    """Fronts of indices, best first (Deb et al. 2002)."""
+    n = F.shape[0]
+    # dominance matrix: d[i, j] = True iff i dominates j
+    le = (F[:, None, :] <= F[None, :, :]).all(-1)
+    lt = (F[:, None, :] < F[None, :, :]).any(-1)
+    dom = le & lt
+    n_dominated_by = dom.sum(axis=0)
+    fronts = []
+    remaining = np.ones(n, bool)
+    counts = n_dominated_by.copy()
+    while remaining.any():
+        front = np.where(remaining & (counts == 0))[0]
+        if len(front) == 0:  # numerical ties; dump the rest
+            front = np.where(remaining)[0]
+        fronts.append(front)
+        remaining[front] = False
+        counts = counts - dom[front].sum(axis=0)
+    return fronts
+
+
+def crowding_distance(F: np.ndarray) -> np.ndarray:
+    """NSGA-II crowding distance within one front."""
+    n, m = F.shape
+    if n <= 2:
+        return np.full(n, np.inf)
+    dist = np.zeros(n)
+    for j in range(m):
+        order = np.argsort(F[:, j], kind="stable")
+        fj = F[order, j]
+        span = fj[-1] - fj[0]
+        dist[order[0]] = dist[order[-1]] = np.inf
+        if span > 0:
+            dist[order[1:-1]] += (fj[2:] - fj[:-2]) / span
+    return dist
+
+
+def _achievement_scalarizing(F: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    w = np.where(weights > 1e-10, weights, 1e-10)
+    return np.max(F / w, axis=-1)
+
+
+def _hyperplane_intercepts(F: np.ndarray, ideal: np.ndarray) -> np.ndarray:
+    """NSGA-III normalization intercepts from extreme points."""
+    m = F.shape[1]
+    Fs = F - ideal
+    extremes = np.empty(m, int)
+    for j in range(m):
+        w = np.full(m, 1e-6)
+        w[j] = 1.0
+        extremes[j] = int(np.argmin(_achievement_scalarizing(Fs, w)))
+    E = Fs[extremes]
+    try:
+        plane = np.linalg.solve(E, np.ones(m))
+        intercepts = 1.0 / plane
+        if np.any(intercepts < 1e-10) or not np.all(np.isfinite(intercepts)):
+            raise np.linalg.LinAlgError
+    except np.linalg.LinAlgError:
+        intercepts = Fs.max(axis=0)
+    return np.where(intercepts > 1e-10, intercepts, Fs.max(axis=0) + 1e-10)
+
+
+def associate_to_refs(Fn: np.ndarray, ref_dirs: np.ndarray):
+    """Closest reference line (perpendicular distance) per solution."""
+    norms = np.linalg.norm(ref_dirs, axis=1)
+    unit = ref_dirs / norms[:, None]
+    proj = Fn @ unit.T                       # (n, R)
+    d2 = (Fn ** 2).sum(axis=1)[:, None] - proj ** 2
+    dist = np.sqrt(np.maximum(d2, 0.0))
+    niche = np.argmin(dist, axis=1)
+    return niche, dist[np.arange(len(Fn)), niche]
+
+
+def nsga3_survival(X: np.ndarray, F: np.ndarray, n_survive: int,
+                   ref_dirs: np.ndarray, rng: np.random.Generator):
+    """NSGA-III environmental selection. Returns (X, F, rank, niche, dist)."""
+    fronts = fast_non_dominated_sort(F)
+    rank = np.empty(len(F), int)
+    for r, fr in enumerate(fronts):
+        rank[fr] = r
+
+    ideal = F.min(axis=0)
+    intercepts = _hyperplane_intercepts(F, ideal)
+    Fn = (F - ideal) / intercepts
+    niche, nd = associate_to_refs(Fn, ref_dirs)
+
+    chosen: list[int] = []
+    for fr in fronts:
+        if len(chosen) + len(fr) <= n_survive:
+            chosen.extend(fr.tolist())
+            if len(chosen) == n_survive:
+                break
+        else:
+            k = n_survive - len(chosen)
+            # niche counts from already-chosen members
+            counts = np.bincount(niche[np.asarray(chosen, int)] if chosen else
+                                 np.zeros(0, int), minlength=len(ref_dirs))
+            cand = list(fr)
+            selected: list[int] = []
+            while len(selected) < k and cand:
+                cand_niches = niche[np.asarray(cand)]
+                min_count = counts[cand_niches].min()
+                # pick among candidates in the least-occupied niches
+                pool_mask = counts[cand_niches] == min_count
+                pool = [c for c, m in zip(cand, pool_mask) if m]
+                # within the niche pool, prefer smallest perpendicular distance
+                dists = nd[np.asarray(pool)]
+                pick = pool[int(np.argmin(dists))] if min_count == 0 else \
+                    pool[int(rng.integers(len(pool)))]
+                selected.append(pick)
+                cand.remove(pick)
+                counts[niche[pick]] += 1
+            chosen.extend(selected)
+            break
+    idx = np.asarray(chosen[:n_survive], int)
+    return X[idx], F[idx], rank[idx], niche[idx], nd[idx]
+
+
+def nsga2_survival(X: np.ndarray, F: np.ndarray, n_survive: int):
+    """NSGA-II survival (rank + crowding)."""
+    fronts = fast_non_dominated_sort(F)
+    chosen: list[int] = []
+    for fr in fronts:
+        if len(chosen) + len(fr) <= n_survive:
+            chosen.extend(fr.tolist())
+        else:
+            cd = crowding_distance(F[fr])
+            order = np.argsort(-cd, kind="stable")
+            chosen.extend(fr[order[: n_survive - len(chosen)]].tolist())
+            break
+    idx = np.asarray(chosen, int)
+    return X[idx], F[idx]
+
+
+# ---------------------------------------------------------------------------
+# variation operators
+# ---------------------------------------------------------------------------
+
+def sbx_crossover(parents_a, parents_b, xl, xu, rng, prob=0.9, eta=15.0):
+    """Simulated binary crossover (per-variable, pymoo-compatible form)."""
+    Xa, Xb = parents_a.copy(), parents_b.copy()
+    n, d = Xa.shape
+    do_cx = rng.random(n) <= prob
+    u = rng.random((n, d))
+    beta = np.where(u <= 0.5,
+                    (2 * u) ** (1.0 / (eta + 1)),
+                    (1.0 / (2 * (1 - u))) ** (1.0 / (eta + 1)))
+    swap = rng.random((n, d)) <= 0.5
+    c1 = 0.5 * ((1 + beta) * Xa + (1 - beta) * Xb)
+    c2 = 0.5 * ((1 - beta) * Xa + (1 + beta) * Xb)
+    o1 = np.where(swap, c2, c1)
+    o2 = np.where(swap, c1, c2)
+    o1 = np.where(do_cx[:, None], o1, Xa)
+    o2 = np.where(do_cx[:, None], o2, Xb)
+    return np.clip(o1, xl, xu), np.clip(o2, xl, xu)
+
+
+def polynomial_mutation(X, xl, xu, rng, prob=None, eta=10.0):
+    """Polynomial mutation (Deb & Goyal 1996)."""
+    X = X.copy()
+    n, d = X.shape
+    if prob is None:
+        prob = 1.0 / d
+    do = rng.random((n, d)) <= prob
+    u = rng.random((n, d))
+    span = np.where(xu - xl > 0, xu - xl, 1.0)
+    d1 = (X - xl) / span
+    d2 = (xu - X) / span
+    mut_pow = 1.0 / (eta + 1.0)
+    val_lo = 2 * u + (1 - 2 * u) * (1 - d1) ** (eta + 1)
+    val_hi = 2 * (1 - u) + 2 * (u - 0.5) * (1 - d2) ** (eta + 1)
+    delta = np.where(u <= 0.5,
+                     val_lo ** mut_pow - 1.0,
+                     1.0 - val_hi ** mut_pow)
+    X = np.where(do, X + delta * span, X)
+    return np.clip(X, xl, xu)
+
+
+def _tournament(rank_like: np.ndarray, tiebreak: np.ndarray, n_pairs: int,
+                rng: np.random.Generator) -> np.ndarray:
+    """Binary tournament: lower rank wins, tie -> lower tiebreak value."""
+    n = len(rank_like)
+    a = rng.integers(n, size=n_pairs)
+    b = rng.integers(n, size=n_pairs)
+    better = np.where(rank_like[a] < rank_like[b], a,
+                      np.where(rank_like[b] < rank_like[a], b,
+                               np.where(tiebreak[a] <= tiebreak[b], a, b)))
+    return better
+
+
+# ---------------------------------------------------------------------------
+# algorithms
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MOOResult:
+    X: np.ndarray            # final population decision vectors
+    F: np.ndarray            # final population objectives
+    pareto_X: np.ndarray     # non-dominated set
+    pareto_F: np.ndarray
+    history: list = field(default_factory=list)  # (gen, F_min, F_mean)
+    n_gen: int = 0
+    n_evals: int = 0
+
+
+def run_unsga3(evaluate: Callable[[np.ndarray], np.ndarray],
+               xl: np.ndarray, xu: np.ndarray,
+               pop_size: int = 300, n_gen: int = 100,
+               n_obj: int = 3, n_partitions: int = 20,
+               seed: int = 42,
+               sbx_prob: float = 0.9, sbx_eta: float = 15.0,
+               pm_eta: float = 10.0,
+               ftol: float = 0.0025, ftol_period: int = 30,
+               n_max_evals: int | None = 100_000,
+               x0: np.ndarray | None = None,
+               callback: Callable | None = None,
+               verbose: bool = False,
+               logger=None) -> MOOResult:
+    """U-NSGA-III loop with batched evaluation.
+
+    evaluate: (P, n) -> (P, n_obj) numpy (internally jitted/sharded).
+    Matches the reference configuration (runner.py:674-690) including the
+    sliding-window ftol termination.
+    """
+    rng = np.random.default_rng(seed)
+    xl = np.asarray(xl, float)
+    xu = np.asarray(xu, float)
+    ref_dirs = das_dennis(n_obj, n_partitions)
+
+    X = lhs_sampling(pop_size, xl, xu, rng) if x0 is None else np.array(x0)
+    if x0 is not None and len(X) < pop_size:
+        X = np.vstack([X, lhs_sampling(pop_size - len(X), xl, xu, rng)])
+    F = np.asarray(evaluate(X), float)
+    n_evals = len(X)
+
+    X, F, rank, niche, nd = nsga3_survival(X, F, pop_size, ref_dirs, rng)
+    history = []
+    ideal_history = [F.min(axis=0)]
+
+    gen = 0
+    for gen in range(1, n_gen + 1):
+        # U-NSGA-III tournament: rank, tie-broken by ref-line distance
+        n_off = pop_size
+        pa = _tournament(rank, nd, n_off, rng)
+        pb = _tournament(rank, nd, n_off, rng)
+        o1, o2 = sbx_crossover(X[pa], X[pb], xl, xu, rng,
+                               prob=sbx_prob, eta=sbx_eta)
+        off = np.vstack([o1, o2])[:n_off]
+        off = polynomial_mutation(off, xl, xu, rng, eta=pm_eta)
+
+        # duplicate elimination against current pop
+        key = np.round(off, 12)
+        pop_key = {tuple(r) for r in np.round(X, 12)}
+        dup = np.array([tuple(r) in pop_key for r in key])
+        if dup.any():
+            off[dup] = lhs_sampling(int(dup.sum()), xl, xu, rng)
+
+        F_off = np.asarray(evaluate(off), float)
+        n_evals += len(off)
+
+        X_all = np.vstack([X, off])
+        F_all = np.vstack([F, F_off])
+        X, F, rank, niche, nd = nsga3_survival(X_all, F_all, pop_size,
+                                               ref_dirs, rng)
+
+        history.append((gen, F.min(axis=0).copy(), F.mean(axis=0).copy()))
+        ideal_history.append(F.min(axis=0))
+        if callback is not None:
+            callback(gen, X, F)
+        if verbose and logger is not None and gen % 10 == 0:
+            logger.info(f"[UNSGA3] gen {gen}: ideal={F.min(axis=0)}")
+
+        # termination: relative ideal-point movement over the window
+        if len(ideal_history) > ftol_period:
+            prev = ideal_history[-ftol_period - 1]
+            cur = ideal_history[-1]
+            denom = np.maximum(np.abs(prev), 1e-12)
+            if np.max(np.abs(cur - prev) / denom) < ftol:
+                break
+        if n_max_evals is not None and n_evals >= n_max_evals:
+            break
+
+    fronts = fast_non_dominated_sort(F)
+    pf = fronts[0]
+    return MOOResult(X, F, X[pf], F[pf], history, gen, n_evals)
+
+
+def run_nsga2(evaluate, xl, xu, pop_size=100, n_gen=100, seed=42,
+              sbx_prob=0.9, sbx_eta=15.0, pm_eta=20.0,
+              constraint_fn=None, x0=None, callback=None) -> MOOResult:
+    """NSGA-II with optional constraint handling (feasibility-first:
+    infeasible solutions are penalized by total violation)."""
+    rng = np.random.default_rng(seed)
+    xl, xu = np.asarray(xl, float), np.asarray(xu, float)
+
+    def eval_all(Xb):
+        F = np.asarray(evaluate(Xb), float)
+        if constraint_fn is not None:
+            G = np.asarray(constraint_fn(Xb), float)
+            cv = np.maximum(G, 0.0).sum(axis=1)
+            F = F + 1e6 * cv[:, None]
+        return F
+
+    X = lhs_sampling(pop_size, xl, xu, rng) if x0 is None else np.array(x0)
+    F = eval_all(X)
+    n_evals = len(X)
+    history = []
+
+    gen = 0
+    for gen in range(1, n_gen + 1):
+        fronts = fast_non_dominated_sort(F)
+        rank = np.empty(len(F), int)
+        cd = np.empty(len(F))
+        for r, fr in enumerate(fronts):
+            rank[fr] = r
+            cd[fr] = crowding_distance(F[fr])
+        pa = _tournament(rank, -cd, pop_size, rng)
+        pb = _tournament(rank, -cd, pop_size, rng)
+        o1, o2 = sbx_crossover(X[pa], X[pb], xl, xu, rng, prob=sbx_prob, eta=sbx_eta)
+        off = polynomial_mutation(np.vstack([o1, o2])[:pop_size], xl, xu, rng,
+                                  eta=pm_eta)
+        F_off = eval_all(off)
+        n_evals += len(off)
+        X, F = nsga2_survival(np.vstack([X, off]), np.vstack([F, F_off]), pop_size)
+        history.append((gen, F.min(axis=0).copy(), F.mean(axis=0).copy()))
+        if callback is not None:
+            callback(gen, X, F)
+
+    fronts = fast_non_dominated_sort(F)
+    pf = fronts[0]
+    return MOOResult(X, F, X[pf], F[pf], history, gen, n_evals)
+
+
+def run_de(evaluate, xl, xu, pop_size=100, n_gen=1000, seed=42,
+           F_weight=0.8, CR=0.9, constraint_fn=None, x0=None,
+           callback=None) -> MOOResult:
+    """DE/rand/1/bin single-objective minimizer with feasibility penalty
+    (kinopt's DE mode, reference kinopt/evol/opt/optrun.py:352)."""
+    rng = np.random.default_rng(seed)
+    xl, xu = np.asarray(xl, float), np.asarray(xu, float)
+    d = len(xl)
+
+    def eval_all(Xb):
+        f = np.asarray(evaluate(Xb), float).reshape(len(Xb))
+        if constraint_fn is not None:
+            G = np.asarray(constraint_fn(Xb), float)
+            f = f + 1e6 * np.maximum(G, 0.0).sum(axis=1)
+        return f
+
+    X = lhs_sampling(pop_size, xl, xu, rng) if x0 is None else np.array(x0)
+    f = eval_all(X)
+    n_evals = len(X)
+    history = []
+
+    gen = 0
+    for gen in range(1, n_gen + 1):
+        idx = np.arange(pop_size)
+        r1, r2, r3 = (rng.permutation(pop_size) for _ in range(3))
+        V = X[r1] + F_weight * (X[r2] - X[r3])
+        cross = rng.random((pop_size, d)) <= CR
+        jrand = rng.integers(d, size=pop_size)
+        cross[idx, jrand] = True
+        U = np.clip(np.where(cross, V, X), xl, xu)
+        fu = eval_all(U)
+        n_evals += pop_size
+        better = fu < f
+        X = np.where(better[:, None], U, X)
+        f = np.where(better, fu, f)
+        history.append((gen, f.min(), f.mean()))
+        if callback is not None:
+            callback(gen, X, f)
+
+    best = int(np.argmin(f))
+    return MOOResult(X, f[:, None], X[best:best + 1], f[best:best + 1, None],
+                     history, gen, n_evals)
