@@ -112,7 +112,9 @@ def _hyperplane_intercepts(F: np.ndarray, ideal: np.ndarray) -> np.ndarray:
     E = Fs[extremes]
     try:
         plane = np.linalg.solve(E, np.ones(m))
-        intercepts = 1.0 / plane
+        with np.errstate(divide="ignore"):
+            intercepts = np.where(plane != 0, 1.0 / np.where(plane != 0, plane, 1.0),
+                                  np.inf)
         if np.any(intercepts < 1e-10) or not np.all(np.isfinite(intercepts)):
             raise np.linalg.LinAlgError
     except np.linalg.LinAlgError:
@@ -347,7 +349,8 @@ def run_unsga3(evaluate: Callable[[np.ndarray], np.ndarray],
 
 def run_nsga2(evaluate, xl, xu, pop_size=100, n_gen=100, seed=42,
               sbx_prob=0.9, sbx_eta=15.0, pm_eta=20.0,
-              constraint_fn=None, x0=None, callback=None) -> MOOResult:
+              constraint_fn=None, x0=None, repair_fn=None,
+              callback=None) -> MOOResult:
     """NSGA-II with optional constraint handling (feasibility-first:
     infeasible solutions are penalized by total violation)."""
     rng = np.random.default_rng(seed)
@@ -362,6 +365,8 @@ def run_nsga2(evaluate, xl, xu, pop_size=100, n_gen=100, seed=42,
         return F
 
     X = lhs_sampling(pop_size, xl, xu, rng) if x0 is None else np.array(x0)
+    if repair_fn is not None:
+        X = repair_fn(X)
     F = eval_all(X)
     n_evals = len(X)
     history = []
@@ -379,6 +384,8 @@ def run_nsga2(evaluate, xl, xu, pop_size=100, n_gen=100, seed=42,
         o1, o2 = sbx_crossover(X[pa], X[pb], xl, xu, rng, prob=sbx_prob, eta=sbx_eta)
         off = polynomial_mutation(np.vstack([o1, o2])[:pop_size], xl, xu, rng,
                                   eta=pm_eta)
+        if repair_fn is not None:
+            off = repair_fn(off)
         F_off = eval_all(off)
         n_evals += len(off)
         X, F = nsga2_survival(np.vstack([X, off]), np.vstack([F, F_off]), pop_size)
@@ -393,7 +400,7 @@ def run_nsga2(evaluate, xl, xu, pop_size=100, n_gen=100, seed=42,
 
 def run_de(evaluate, xl, xu, pop_size=100, n_gen=1000, seed=42,
            F_weight=0.8, CR=0.9, constraint_fn=None, x0=None,
-           callback=None) -> MOOResult:
+           repair_fn=None, callback=None) -> MOOResult:
     """DE/rand/1/bin single-objective minimizer with feasibility penalty
     (kinopt's DE mode, reference kinopt/evol/opt/optrun.py:352)."""
     rng = np.random.default_rng(seed)
@@ -408,6 +415,8 @@ def run_de(evaluate, xl, xu, pop_size=100, n_gen=1000, seed=42,
         return f
 
     X = lhs_sampling(pop_size, xl, xu, rng) if x0 is None else np.array(x0)
+    if repair_fn is not None:
+        X = repair_fn(X)
     f = eval_all(X)
     n_evals = len(X)
     history = []
@@ -421,6 +430,8 @@ def run_de(evaluate, xl, xu, pop_size=100, n_gen=1000, seed=42,
         jrand = rng.integers(d, size=pop_size)
         cross[idx, jrand] = True
         U = np.clip(np.where(cross, V, X), xl, xu)
+        if repair_fn is not None:
+            U = repair_fn(U)
         fu = eval_all(U)
         n_evals += pop_size
         better = fu < f

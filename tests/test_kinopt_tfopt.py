@@ -1,0 +1,152 @@
+"""kinopt / tfopt tests: prediction semantics, projection exactness,
+recovery of known mixing weights, constraint feasibility, KKT checks."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phoskintime_tpu.kinopt import (
+    KinoptProblem,
+    build_problem,
+    kinopt_loss,
+    kkt_check,
+    predict as kin_predict,
+)
+from phoskintime_tpu.kinopt.optimize import run_evolutionary as kin_evol
+from phoskintime_tpu.kinopt.optimize import run_local as kin_local
+from phoskintime_tpu.ops.constrained import project_sum_box
+from phoskintime_tpu.tfopt import TfoptProblem, predict as tf_predict, tfopt_loss
+from phoskintime_tpu.tfopt.optimize import run_evolutionary as tf_evol
+from phoskintime_tpu.tfopt.optimize import run_local as tf_local
+
+T = 14
+
+
+def kin_problem(seed=0):
+    """3 sites, 2 kinases with known ground-truth weights."""
+    rng = np.random.default_rng(seed)
+    K_array = rng.uniform(0.5, 2.0, (4, T))       # 4 source rows
+    kinase_rows = [[0, 1], [2, 3]]                # kinase j <- rows
+    site_kinases = [[0], [1], [0, 1]]             # site i <- kinases
+    beta_true = np.array([[0.7, 0.3], [0.4, 0.6]])
+    alpha_true_pad = np.array([[1.0, 0.0], [1.0, 0.0], [0.35, 0.65]])
+    signal = np.stack([beta_true[j] @ K_array[kinase_rows[j]] for j in range(2)])
+    P_obs = np.stack([
+        signal[0],
+        signal[1],
+        0.35 * signal[0] + 0.65 * signal[1],
+    ])
+    prob = build_problem(P_obs, site_kinases, kinase_rows, K_array)
+    return prob, alpha_true_pad, beta_true
+
+
+class TestProjection:
+    def test_exact_simplex_projection(self):
+        y = jnp.asarray([[0.9, 0.8, -0.2], [5.0, 5.0, 5.0]])
+        mask = jnp.asarray([[True, True, True], [True, True, False]])
+        x = project_sum_box(y, -4.0, 4.0, mask)
+        np.testing.assert_allclose(np.asarray(x).sum(axis=1), 1.0, atol=1e-9)
+        assert np.all(np.asarray(x) >= -4.0) and np.all(np.asarray(x) <= 4.0)
+        assert float(x[1, 2]) == 0.0  # masked slot zeroed
+
+    def test_projection_idempotent(self):
+        y = jnp.asarray([[0.2, 0.3, 0.5]])
+        mask = jnp.ones((1, 3), bool)
+        x = project_sum_box(y, 0.0, 1.0, mask)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-9)
+
+
+class TestKinopt:
+    def test_prediction_semantics(self):
+        prob, a_true, b_true = kin_problem()
+        pred = kin_predict(prob, jnp.asarray(a_true),
+                           jnp.asarray(np.asarray(b_true)))
+        np.testing.assert_allclose(np.asarray(pred), prob.P_obs, rtol=1e-12)
+        loss = kinopt_loss(prob, jnp.asarray(a_true), jnp.asarray(b_true))
+        assert float(loss) == pytest.approx(0.0, abs=1e-20)
+
+    def test_local_recovers_weights(self):
+        prob, a_true, b_true = kin_problem()
+        res = kin_local(prob, n_starts=16, steps=1500, lr=0.05, seed=0)
+        assert res.feasible
+        assert res.loss < 1e-4
+        np.testing.assert_allclose(res.beta, b_true, atol=0.1)
+
+    def test_evolutionary_de(self):
+        prob, *_ = kin_problem()
+        res = kin_evol(prob, method="DE", pop_size=60, n_gen=150, seed=1)
+        assert res.loss < 1e-2
+        assert res.feasible
+
+    def test_evolutionary_nsga2(self):
+        prob, *_ = kin_problem()
+        res = kin_evol(prob, method="NSGA-II", pop_size=60, n_gen=120, seed=2)
+        assert np.isfinite(res.loss)
+
+    def test_kkt_report(self):
+        prob, a_true, b_true = kin_problem()
+        res = kin_local(prob, n_starts=8, steps=800, lr=0.05, seed=3)
+        loss_fn = lambda a, b: kinopt_loss(prob, a, b)
+        rep = kkt_check(prob, res.alpha, res.beta, loss_fn)
+        assert rep.primal_feasible
+        np.testing.assert_allclose(rep.group_sums_alpha, 1.0, atol=1e-4)
+        np.testing.assert_allclose(rep.group_sums_beta, 1.0, atol=1e-4)
+        # at an interior optimum the stationarity residual is small
+        assert rep.stationarity_residual < 0.05
+
+
+def tf_problem(seed=0):
+    rng = np.random.default_rng(seed)
+    n_genes, n_TF, n_reg, n_ps = 4, 3, 2, 2
+    protein = rng.uniform(0.5, 2.0, (n_TF, T))
+    psites = rng.uniform(0.2, 1.5, (n_TF, n_ps, T))
+    num_psites = np.array([2, 1, 0])
+    psites[1, 1:] = 0.0
+    psites[2, :] = 0.0
+    regulators = np.array([[0, 1], [1, 2], [0, 2], [2, -1]])
+    beta_true = np.zeros((n_TF, 1 + n_ps))
+    beta_true[0] = [0.5, 0.3, 0.2]
+    beta_true[1] = [0.6, 0.4, 0.0]
+    beta_true[2] = [1.0, 0.0, 0.0]
+    alpha_true = np.array([[0.7, 0.3], [0.5, 0.5], [0.4, 0.6], [1.0, 0.0]])
+    effect = beta_true[:, :1] * protein + np.einsum("fk,fkt->ft",
+                                                    beta_true[:, 1:], psites)
+    mRNA = np.zeros((n_genes, T))
+    for g in range(n_genes):
+        for r in range(n_reg):
+            tf = regulators[g, r]
+            if tf >= 0:
+                mRNA[g] += alpha_true[g, r] * effect[tf]
+    prob = TfoptProblem(mRNA, regulators, protein, psites, num_psites)
+    return prob, alpha_true, beta_true
+
+
+class TestTfopt:
+    def test_prediction_semantics(self):
+        prob, a_true, b_true = tf_problem()
+        pred = tf_predict(prob, jnp.asarray(a_true), jnp.asarray(b_true))
+        np.testing.assert_allclose(np.asarray(pred), prob.mRNA_mat, rtol=1e-12)
+        assert float(tfopt_loss(prob, jnp.asarray(a_true),
+                                jnp.asarray(b_true))) == pytest.approx(0.0, abs=1e-20)
+
+    def test_local_fit(self):
+        prob, a_true, b_true = tf_problem()
+        res = tf_local(prob, n_starts=16, steps=1500, lr=0.05, seed=0)
+        assert res.loss < 1e-3
+        # per-group sums hold (no-psite TF beta pinned at 1)
+        np.testing.assert_allclose(res.beta[prob.no_psite_tf, 0], 1.0, atol=1e-6)
+
+    @pytest.mark.parametrize("loss_type", [1, 2, 3, 4, 5, 6])
+    def test_loss_variants_finite(self, loss_type):
+        prob, a_true, b_true = tf_problem()
+        val = tfopt_loss(prob, jnp.asarray(a_true) + 0.1,
+                         jnp.asarray(b_true) + 0.1, loss_type)
+        assert np.isfinite(float(val))
+
+    def test_evolutionary(self):
+        prob, *_ = tf_problem()
+        res = tf_evol(prob, optimizer=0, n_gen=60, pop_size=60, seed=1)
+        assert np.isfinite(res.loss)
+        av = np.abs((res.alpha * prob.alpha_mask).sum(axis=1) - 1.0)
+        has_reg = prob.alpha_mask.sum(axis=1) > 0
+        assert av[has_reg].max() < 0.2  # evol path approaches feasibility
