@@ -1,0 +1,116 @@
+"""Benchmark: batched full-network stiff ODE objective evaluations on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: global-model objective evaluations per second (one evaluation =
+softplus unpack -> full-network RK45 integration over the union grid ->
+3-modality robust loss) at population batch 256 on a 40-protein synthetic
+network mirroring the reference's data scale.
+
+Baseline: the reference evaluates candidates with SciPy LSODA + Numba-style
+ragged RHS, one process per candidate on 80 CPU cores
+(``config.toml:278``, ``global_model/runner.py:643-648``). We measure the
+single-core SciPy rate for the SAME network/equations here and scale by 80;
+vs_baseline = tpu_rate / (80 * scipy_single_core_rate).
+"""
+
+import json
+import time
+
+import numpy as np
+
+POP = 256
+N_PROTEINS = 40
+N_KINASES = 12
+
+
+def tpu_rate():
+    import jax
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.demo import build_demo_network
+    from phoskintime_tpu.network.objective import make_objective
+
+    b = build_demo_network(n_proteins=N_PROTEINS, n_kinases=N_KINASES,
+                           seed=0, dtype=np.float32)
+    objective = make_objective(b["system"], b["slices"], b["loss_data"],
+                               b["defaults"], b["lambdas"], b["grid"])
+    rng = np.random.default_rng(0)
+    thetas = jnp.asarray(
+        b["theta0"][None] + 0.05 * rng.normal(size=(POP, len(b["theta0"]))),
+        jnp.float32)
+
+    f = jax.jit(jax.vmap(objective))
+    F = f(thetas)
+    jax.block_until_ready(F)  # compile + warmup
+    assert bool(jnp.all(jnp.isfinite(F))), "non-finite objectives"
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        F = f(thetas)
+    jax.block_until_ready(F)
+    dt = time.perf_counter() - t0
+    return (POP * n_rep) / dt, b
+
+
+def scipy_single_core_rate(b):
+    """Reference-style LSODA evaluation of the same network (ragged loops)."""
+    from scipy.integrate import odeint
+
+    topo = b["system"].topo
+    Kmat = np.asarray(b["system"].Kmat, float)
+    grid = np.asarray(b["system"].kin_grid, float)
+    p = {k: np.asarray(v, float) for k, v in b["true"].items()}
+    times = np.asarray(b["grid"], float)
+    Y0 = b["system"].y0().astype(float)
+    N, width = Y0.shape
+    msk = topo.site_mask()
+
+    def rhs_flat(y, t):
+        Y = y.reshape(N, width)
+        jb = min(max(int(np.searchsorted(grid, t, side="right") - 1), 0),
+                 Kmat.shape[1] - 1)
+        Kt = Kmat[:, jb] * p["c_k"]
+        S = np.einsum("nsk,k->ns", topo.W_pad, Kt)
+        P_vec = Y[:, 1] + (Y[:, 2:] * msk).sum(axis=1)
+        drv = topo.driver_map >= 0
+        P_vec[drv] = Kt[topo.driver_map[drv]]
+        v = (topo.tf_mat @ P_vec) / topo.tf_deg
+        u = v / (1 + np.abs(v))
+        act = p["A_i"] * (1 + (p["tf_scale"] * u) / (1 + u + 1e-6))
+        rep = p["A_i"] / (1 + p["tf_scale"] * np.abs(u))
+        synth = np.where(u >= 0, act, rep)
+        dY = np.zeros_like(Y)
+        dY[:, 0] = synth - p["B_i"] * Y[:, 0]
+        sites = Y[:, 2:] * msk
+        Sm = S * msk
+        dY[:, 2:] = (Sm * Y[:, 1:2]
+                     - (p["E_i"][:, None] + p["Dp_i"] + p["D_i"][:, None]) * sites) * msk
+        dY[:, 1] = (p["C_i"] * Y[:, 0] - (p["D_i"] + Sm.sum(1)) * Y[:, 1]
+                    + p["E_i"] * sites.sum(1))
+        return dY.reshape(-1)
+
+    n_solves = 3
+    t0 = time.perf_counter()
+    for _ in range(n_solves):
+        odeint(rhs_flat, Y0.reshape(-1), times, rtol=1e-5, atol=1e-7,
+               mxstep=5000)
+    dt = time.perf_counter() - t0
+    return n_solves / dt
+
+
+def main():
+    rate, b = tpu_rate()
+    cpu_rate = scipy_single_core_rate(b)
+    baseline = 80.0 * cpu_rate  # reference: 80-core process pool
+    print(json.dumps({
+        "metric": "global_model_objective_evals_per_s",
+        "value": round(rate, 2),
+        "unit": "evals/s (pop=256, N=40 proteins, full RK45 + 3-mod loss)",
+        "vs_baseline": round(rate / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,19 +96,35 @@ def make_objective(system, slices, loss_data, defaults, lambdas, time_grid,
     return objective
 
 
+import weakref
+
+_POP_EVAL_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def evaluate_population(objective, thetas, mesh=None):
     """Evaluate a (P, n) population; optionally sharded over a mesh axis.
 
     With a mesh, the population axis is sharded across devices via
     NamedSharding — XLA partitions the vmapped program (this replaces the
     reference's multiprocessing starmap over 80 cores).
+
+    The jitted wrapper is cached by (objective identity, mesh) so repeated
+    calls (every GA generation) hit the compilation cache instead of
+    re-tracing a fresh ``jax.vmap`` object each time.
     """
-    f = jax.vmap(objective)
+    per_obj = _POP_EVAL_CACHE.setdefault(objective, {})
+    f = per_obj.get(id(mesh))
+    if f is None:
+        vf = jax.vmap(objective)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P("pop", None))
+            f = jax.jit(vf, in_shardings=sh,
+                        out_shardings=NamedSharding(mesh, P("pop", None)))
+        else:
+            f = jax.jit(vf)
+        per_obj[id(mesh)] = f
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         thetas = jax.device_put(thetas, NamedSharding(mesh, P("pop", None)))
-        f = jax.jit(f, in_shardings=NamedSharding(mesh, P("pop", None)),
-                    out_shardings=NamedSharding(mesh, P("pop", None)))
-    else:
-        f = jax.jit(f)
     return f(thetas)
