@@ -1,0 +1,254 @@
+"""Command-line interface.
+
+Spec: reference ``config/cli.py:73-224`` (Typer app with subcommands
+``prep | tfopt | kinopt | model | global-model | all | clean``, each
+spawning a module subprocess). Typer is not available here, so this is an
+argparse CLI running each stage **in-process** — no process boundaries are
+needed because all parallelism lives inside XLA programs.
+
+Usage: ``python -m phoskintime_tpu <command> [options]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+import numpy as np
+
+from phoskintime_tpu.config.loader import PhosKinConfig, load
+from phoskintime_tpu.config.logconf import setup_logger
+
+logger = setup_logger()
+
+
+def _add_common(p):
+    p.add_argument("--config", default=None, help="path to config.toml")
+    p.add_argument("--out-dir", default=None)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="phoskintime_tpu",
+        description="TPU-native ODE parameter estimation of cell-signalling "
+                    "events in temporal space")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("prep", help="preprocess raw files into input1..4.csv")
+    p.add_argument("--base-dir", required=True)
+    _add_common(p)
+
+    for name in ("tfopt", "kinopt"):
+        p = sub.add_parser(name, help=f"run {name} optimization")
+        p.add_argument("--mode", choices=["local", "evol"], default="local")
+        _add_common(p)
+
+    p = sub.add_parser("model", help="per-gene ODE fitting")
+    p.add_argument("--model", choices=["distmod", "succmod", "randmod"],
+                   default=None)
+    p.add_argument("--genes", nargs="*", default=None)
+    p.add_argument("--bootstraps", type=int, default=None)
+    p.add_argument("--A-bound", default=None)
+    p.add_argument("--B-bound", default=None)
+    p.add_argument("--C-bound", default=None)
+    p.add_argument("--D-bound", default=None)
+    p.add_argument("--Ssite-bound", default=None)
+    p.add_argument("--Dsite-bound", default=None)
+    p.add_argument("--sensitivity", action="store_true")
+    _add_common(p)
+
+    p = sub.add_parser("global-model", aliases=["global_model"],
+                       help="joint network fit")
+    p.add_argument("--optimizer", choices=["pymoo", "optuna"], default=None)
+    p.add_argument("--pop", type=int, default=None)
+    p.add_argument("--n-gen", type=int, default=None)
+    p.add_argument("--refine", action="store_true")
+    _add_common(p)
+
+    p = sub.add_parser("all", help="prep -> tfopt -> kinopt -> model")
+    p.add_argument("--base-dir", default=None)
+    _add_common(p)
+
+    p = sub.add_parser("clean", help="purge caches and pyc files")
+    _add_common(p)
+    return ap
+
+
+def parse_bound_pair(val: str):
+    """'lo,hi' -> (float, float); 'inf' accepted (reference config.py:25-47)."""
+    lo, hi = val.split(",")
+    hi = hi.strip().lower()
+    return float(lo), float("inf") if hi in ("inf", "infinity") else float(hi)
+
+
+def _ode_bounds(cfg_ode: dict, args) -> dict:
+    b = cfg_ode.get("bounds", {}) or {}
+    def pair(cli_val, key, default=20.0):
+        if cli_val:
+            return parse_bound_pair(cli_val)
+        return (0.0, float(b.get(key, default)))
+    return {
+        "A": pair(args.A_bound, "mRNA_prod"),
+        "B": pair(args.B_bound, "mRNA_deg"),
+        "C": pair(args.C_bound, "protein_prod"),
+        "D": pair(args.D_bound, "protein_deg"),
+        "S(i)": pair(args.Ssite_bound, "phospho_prod"),
+        "D(i)": pair(args.Dsite_bound, "phospho_deg"),
+    }
+
+
+def cmd_prep(args):
+    from phoskintime_tpu.io.preprocess import run_cleanup
+
+    run_cleanup(args.base_dir, args.out_dir or ".")
+
+
+def cmd_tfopt(args):
+    from phoskintime_tpu.io.export import export_tfopt_results
+    from phoskintime_tpu.tfopt.data import load_tfopt_problem
+    from phoskintime_tpu.tfopt.optimize import run_evolutionary, run_local
+
+    sec = load(args.mode, "tfopt", args.config)
+    root = sec["_root"]
+    data_dir = os.path.join(root, sec["_paths"].get("data_dir", "data"))
+    prob, meta = load_tfopt_problem(
+        os.path.join(data_dir, sec.get("input1", "input1.csv")),
+        os.path.join(data_dir, sec.get("input3", "input3.csv")),
+        os.path.join(data_dir, sec.get("input4", "input4.csv")),
+        lb=float(sec.get("lower_bound", -4.0)),
+        ub=float(sec.get("upper_bound", 4.0)))
+    loss_type = int(sec.get("loss_type", 5))
+    if args.mode == "evol":
+        res = run_evolutionary(prob, optimizer=int(sec.get("optimizer", 0)),
+                               loss_type=loss_type)
+    else:
+        res = run_local(prob, loss_type=loss_type)
+    out = os.path.join(data_dir, sec.get("out_file", "tfopt_results.xlsx"))
+    export_tfopt_results(out, prob, res)
+    logger.info(f"[tfopt:{args.mode}] loss={res.loss:.6g} -> {out}")
+
+
+def cmd_kinopt(args):
+    from phoskintime_tpu.io.export import export_kinopt_results
+    from phoskintime_tpu.kinopt.data import load_kinopt_problem
+    from phoskintime_tpu.kinopt.optimize import run_evolutionary, run_local
+
+    sec = load(args.mode, "kinopt", args.config)
+    root = sec["_root"]
+    data_dir = os.path.join(root, sec["_paths"].get("data_dir", "data"))
+    prob, meta = load_kinopt_problem(
+        os.path.join(data_dir, sec.get("input1", "input1.csv")),
+        os.path.join(data_dir, sec.get("input2", "input2.csv")),
+        scaling_method=str(sec.get("scaling_method", "none")),
+        split_point=int(sec.get("split_point", 9)),
+        segment_points=sec.get("segment_points"),
+        estimate_missing_kinases=bool(sec.get("estimate_missing_kinases", True)),
+        lb=float(sec.get("lower_bound", -4.0)),
+        ub=float(sec.get("upper_bound", 4.0)))
+    loss_type = str(sec.get("loss_type", "base"))
+    if args.mode == "evol":
+        res = run_evolutionary(prob, method=str(sec.get("method", "NSGA-II")),
+                               loss_type=loss_type,
+                               include_reg=bool(sec.get("regularization", False)))
+    else:
+        res = run_local(prob, loss_type=loss_type)
+    out = os.path.join(data_dir, sec.get("out_file", "kinopt_results.xlsx"))
+    export_kinopt_results(out, prob, res, meta)
+    logger.info(f"[kinopt:{args.mode}] loss={res.loss:.6g} feasible="
+                f"{res.feasible} -> {out}")
+
+
+def cmd_model(args):
+    from phoskintime_tpu.fit.pipeline import run_model_pipeline
+    from phoskintime_tpu.io.load import load_data
+
+    sec = load(None, "ode", args.config)
+    root = sec["_root"]
+    join = lambda p: p if os.path.isabs(str(p)) else os.path.join(root, str(p))
+    model = args.model or str(sec.get("model", "distmod"))
+    tp = np.asarray(sec.get("time", {}).get(
+        "protein", [0.0, 0.5, 0.75, 1.0, 2.0, 4.0, 8.0, 16.0, 30.0, 60.0,
+                    120.0, 240.0, 480.0, 960.0]), float)
+    tr = np.asarray(sec.get("time", {}).get(
+        "rna", [4.0, 8.0, 15.0, 30.0, 60.0, 120.0, 240.0, 480.0, 960.0]), float)
+    inputs = sec.get("inputs", {}) or {}
+    gm = load(None, "global_model", args.config)
+    _, _, df_prot, df_pho, df_rna, *_ = load_data(
+        join(gm.get("kinase_net", "data/input2.csv")),
+        join(gm.get("tf_net", "data/input4.csv")),
+        join(inputs.get("protein_excel", "data/input1.csv")),
+        join(gm.get("rna", "data/input3.csv")),
+        time_points_protein=tp, time_points_rna=tr,
+        scaling_method="raw")
+    out_dir = args.out_dir or os.path.join(
+        root, sec.get("_paths", {}).get("results_dir", "results"))
+    outputs = run_model_pipeline(
+        df_prot, df_pho, df_rna, time_points=tp, rna_time_points=tr,
+        bounds=_ode_bounds(sec, args), model=model, out_dir=out_dir,
+        genes=args.genes, dev_test=bool(sec.get("dev_test", False)),
+        bootstraps=args.bootstraps or int((sec.get("bootstrap") or {}).get("n", 0)),
+        run_sensitivity=args.sensitivity)
+    logger.info(f"[model] fitted {len(outputs)} genes -> {out_dir}")
+
+
+def cmd_global_model(args):
+    from phoskintime_tpu.network.runner import main as run_global
+
+    cfg = PhosKinConfig.from_toml(args.config)
+    overrides = {}
+    if args.optimizer:
+        overrides["optimizer"] = args.optimizer
+    if args.pop:
+        overrides["pop"] = args.pop
+    if args.n_gen:
+        overrides["n_gen"] = args.n_gen
+    if args.refine:
+        overrides["refine"] = True
+    if overrides:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **overrides)
+    run_global(cfg, out_dir=args.out_dir)
+
+
+def cmd_all(args):
+    if args.base_dir:
+        cmd_prep(argparse.Namespace(base_dir=args.base_dir, config=args.config,
+                                    out_dir=args.out_dir))
+    for mode_cmd in (cmd_tfopt, cmd_kinopt):
+        mode_cmd(argparse.Namespace(mode="local", config=args.config,
+                                    out_dir=args.out_dir))
+    cmd_model(argparse.Namespace(
+        model=None, genes=None, bootstraps=None, A_bound=None, B_bound=None,
+        C_bound=None, D_bound=None, Ssite_bound=None, Dsite_bound=None,
+        sensitivity=False, config=args.config, out_dir=args.out_dir))
+
+
+def cmd_clean(args):
+    """Purge compilation caches + pycache (reference cli.py:160-192 purges
+    Numba .nbc caches; our equivalent is the XLA persistent cache)."""
+    n = 0
+    for root, dirs, _files in os.walk("."):
+        for d in list(dirs):
+            if d == "__pycache__":
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+                n += 1
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache and os.path.isdir(cache):
+        shutil.rmtree(cache, ignore_errors=True)
+        logger.info(f"[clean] removed XLA cache {cache}")
+    logger.info(f"[clean] removed {n} __pycache__ dirs")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cmd = args.command.replace("-", "_")
+    {"prep": cmd_prep, "tfopt": cmd_tfopt, "kinopt": cmd_kinopt,
+     "model": cmd_model, "global_model": cmd_global_model,
+     "all": cmd_all, "clean": cmd_clean}[cmd](args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

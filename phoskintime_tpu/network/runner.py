@@ -1,0 +1,193 @@
+"""End-to-end global-model runner.
+
+Spec: reference ``global_model/runner.py:90-1088`` — load -> topology with
+TF-orphan proxying -> observation filtering -> kinase input -> modality
+weights -> system assembly -> data-driven y0 -> union solver grid + fast
+loss data -> bio bounds + softplus raw params -> optional hyperparameter
+scan -> UNSGA3 / MOTPE fit -> optional refinement -> Pareto exports ->
+Frechet solution picking -> sensitivity -> kinase-activity / residual /
+parameter exports -> 7-day steady-state check -> Pareto plots ->
+report bundle.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from phoskintime_tpu.config.loader import PhosKinConfig
+from phoskintime_tpu.config.logconf import setup_logger
+from phoskintime_tpu.io.export import (
+    export_global_params,
+    export_kinase_activities,
+    export_pareto,
+    export_param_distributions,
+    export_residuals,
+    export_trajectories,
+)
+from phoskintime_tpu.io.load import load_data
+from phoskintime_tpu.network.analysis import kinase_dominance, simulate_until_steady
+from phoskintime_tpu.network.bounds import calculate_bio_bounds
+from phoskintime_tpu.network.kinase_input import build_kinase_matrix
+from phoskintime_tpu.network.lossdata import prepare_loss_data
+from phoskintime_tpu.network.optimize import run_global_fit
+from phoskintime_tpu.network.params import init_raw_params, unpack_params
+from phoskintime_tpu.network.scan import run_hyperparameter_scan
+from phoskintime_tpu.network.sensitivity import run_sensitivity_analysis
+from phoskintime_tpu.network.simulate import simulate_and_measure
+from phoskintime_tpu.network.steadystate import build_y0_from_data
+from phoskintime_tpu.network.system import GlobalSystem, default_params
+from phoskintime_tpu.network.topology import build_topology
+from phoskintime_tpu.network.weights import build_weight_functions
+
+logger = setup_logger()
+
+
+def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
+         weighting=("uniform", "uniform", "uniform")) -> dict:
+    """Run the full global fit from a config; returns the result bundle."""
+    root = cfg._root
+    out_dir = str(out_dir or os.path.join(root, cfg.output_dir))
+    os.makedirs(out_dir, exist_ok=True)
+    tp_p = np.asarray(cfg.time_points_protein, float)
+    tp_r = np.asarray(cfg.time_points_rna, float)
+
+    # ---- 1. data ----------------------------------------------------------
+    join = lambda p: p if os.path.isabs(str(p)) else os.path.join(root, str(p))
+    (df_kin, df_tf, df_prot, df_pho, df_rna, kin_beta, tf_beta,
+     kin_alpha, tf_edges) = load_data(
+        join(cfg.kinase_net), join(cfg.tf_net), join(cfg.ms), join(cfg.rna),
+        kinopt_path=join(cfg.kinopt), tfopt_path=join(cfg.tfopt),
+        time_points_protein=tp_p, time_points_rna=tp_r,
+        scaling_method=cfg.scaling_method)
+
+    # ---- 2. topology (orphan proxying inside) -----------------------------
+    topo = build_topology(df_kin, df_tf, kin_beta_map=kin_beta,
+                          tf_beta_map=tf_beta, kin_alpha=kin_alpha,
+                          tf_edge_weights=tf_edges, model=cfg.model)
+    logger.info(f"[Model] {topo.N} proteins ({len(topo.proxy_map)} orphans "
+                f"rewired), {topo.K} kinases, state width {topo.width}")
+
+    # observation filtering: keep only rows mapping into the topology
+    df_prot = df_prot[df_prot["protein"].isin(topo.p2i)]
+    df_rna = df_rna[df_rna["protein"].isin(topo.p2i)]
+    df_pho = df_pho[df_pho["protein"].isin(topo.p2i)]
+
+    # ---- 3. kinase input + weights ---------------------------------------
+    Kmat = build_kinase_matrix(topo.kinases, df_prot, tp_p)
+    w_pp, w_rna = build_weight_functions(tp_p, tp_r, weighting[0], weighting[1])
+    df_prot = df_prot.assign(w=w_pp(df_prot["time"].to_numpy()))
+    df_pho = df_pho.assign(w=w_pp(df_pho["time"].to_numpy()))
+    df_rna = df_rna.assign(w=w_rna(df_rna["time"].to_numpy()))
+
+    # ---- 4. system + y0 ----------------------------------------------------
+    system = GlobalSystem(topo, tp_p, Kmat, dtype=np.float32)
+    y0 = None
+    if cfg.use_initial_condition_from_data:
+        y0 = build_y0_from_data(topo, df_prot, df_rna, df_pho)
+        system.custom_y0 = y0
+
+    # ---- 5. solver grid + loss data + bounds ------------------------------
+    grid = np.unique(np.concatenate([tp_p, tp_r]))
+    loss_data = prepare_loss_data(topo, df_prot, df_rna, df_pho, grid)
+    defaults = default_params(topo, np.float32)
+    bio_bounds = calculate_bio_bounds(topo, df_prot, df_rna, Kmat)
+    theta0, slices, xl, xu = init_raw_params(defaults, topo, bio_bounds)
+    logger.info(f"[Fit] {len(theta0)} decision variables; data points: "
+                f"{len(loss_data.obs_prot)} protein, {len(loss_data.obs_rna)} "
+                f"RNA, {len(loss_data.obs_pho)} phospho")
+
+    lambdas = {"protein": cfg.lambda_protein, "rna": cfg.lambda_rna,
+               "phospho": cfg.lambda_phospho, "prior": cfg.lambda_prior}
+
+    # ---- 6. optional hyperparameter scan ----------------------------------
+    if cfg.hyperparam_scan:
+        best_lams, trials = run_hyperparameter_scan(
+            system, slices, loss_data, defaults, grid, xl, xu,
+            seed=cfg.seed, loss_mode=cfg.loss, mesh=mesh, logger=logger)
+        lambdas = best_lams
+        logger.info(f"[Scan] selected lambdas {lambdas}")
+
+    # ---- 7. fit ------------------------------------------------------------
+    res = run_global_fit(
+        system, slices, loss_data, defaults, lambdas, grid, xl, xu,
+        optimizer=cfg.optimizer, pop=cfg.pop, n_gen=cfg.n_gen,
+        n_trials=cfg.n_trials, seed=cfg.seed, loss_mode=cfg.loss, mesh=mesh,
+        rtol=1e-5, atol=1e-7, max_steps=5000, y0=y0,
+        refine=cfg.refine, num_refinements=cfg.num_refinements,
+        frechet_pick=True, df_prot=df_prot, df_rna=df_rna, df_pho=df_pho,
+        t_points=(tp_p, tp_r, tp_p), logger=logger)
+    logger.info(f"[Fit] done: {res.n_evals} evaluations, "
+                f"{len(res.pareto_X)} Pareto solutions, picked {res.best_idx}")
+
+    with open(os.path.join(out_dir, f"{cfg.optimizer}_optimization_result.pkl"),
+              "wb") as fh:
+        pickle.dump({"X": res.X, "F": res.F, "pareto_X": res.pareto_X,
+                     "pareto_F": res.pareto_F, "best_idx": res.best_idx,
+                     "history": res.history, "slices": slices}, fh)
+    np.save(os.path.join(out_dir, "pareto_X.npy"), res.pareto_X)
+    np.save(os.path.join(out_dir, "pareto_F.npy"), res.pareto_F)
+
+    # ---- 8. best-solution exports ----------------------------------------
+    theta_best = res.pareto_X[res.best_idx]
+    params_best = unpack_params(jnp.asarray(theta_best, jnp.float32), slices, topo)
+    dfp_fit, dfr_fit, dfph_fit = simulate_and_measure(
+        system, params_best, tp_p, tp_r, tp_p, y0=y0)
+
+    export_pareto(os.path.join(out_dir, "pareto.xlsx"), res.pareto_X, res.pareto_F)
+    export_trajectories(os.path.join(out_dir, "trajectories.xlsx"),
+                        dfp_fit, dfr_fit, dfph_fit, df_prot, df_rna, df_pho)
+    export_global_params(os.path.join(out_dir, "parameters.xlsx"), topo,
+                         {k: np.asarray(v) for k, v in params_best.items()})
+    export_kinase_activities(os.path.join(out_dir, "kinase_activity.xlsx"),
+                             topo, params_best, Kmat, tp_p)
+    export_residuals(os.path.join(out_dir, "residuals.xlsx"), df_prot,
+                     dfp_fit, ["protein"])
+    export_param_distributions(os.path.join(out_dir, "param_distributions.xlsx"),
+                               res.pareto_X, slices, topo)
+
+    # ---- 9. sensitivity ----------------------------------------------------
+    sens = None
+    if cfg.sensitivity_analysis:
+        sens = run_sensitivity_analysis(
+            system, slices, theta_best, grid,
+            perturbation=cfg.sensitivity_perturbation,
+            n_trajectories=cfg.sensitivity_trajectories,
+            num_levels=cfg.sensitivity_levels,
+            metric=cfg.sensitivity_metric,
+            top_curves=cfg.sensitivity_top_curves, y0=y0, seed=cfg.seed)
+        np.savez(os.path.join(out_dir, "sensitivity.npz"),
+                 mu=sens.morris.mu, mu_star=sens.morris.mu_star,
+                 sigma=sens.morris.sigma)
+
+    # ---- 10. steady-state check (7 days) ----------------------------------
+    ss = simulate_until_steady(system, params_best, y0=y0)
+    dom = kinase_dominance(system, params_best)
+    pd.DataFrame({"protein": topo.proteins, "converged": ss.converged,
+                  "final_rate": ss.final_rate, "ss_value": ss.ss_value}
+                 ).to_csv(os.path.join(out_dir, "steady_state_check.csv"),
+                          index=False)
+
+    # ---- 11. figures + report ---------------------------------------------
+    from phoskintime_tpu.report.html import create_report
+    from phoskintime_tpu.report.plotter import (
+        plot_convergence,
+        plot_parallel_coords_pareto,
+        plot_pareto_3d,
+    )
+
+    plot_pareto_3d(res.pareto_F, os.path.join(out_dir, "pareto_3d.png"),
+                   best_idx=res.best_idx)
+    plot_convergence(res.history, os.path.join(out_dir, "convergence.png"))
+    plot_parallel_coords_pareto(res.pareto_F,
+                                os.path.join(out_dir, "pareto_parallel.png"))
+    create_report(out_dir, title="phoskintime-tpu global model")
+
+    return dict(result=res, system=system, topo=topo, slices=slices,
+                params_best=params_best, loss_data=loss_data,
+                sensitivity=sens, steady_state=ss, kinase_dominance=dom,
+                out_dir=out_dir)

@@ -1,0 +1,311 @@
+"""Plotting suite.
+
+Spec: reference ``plotting/plotting.py:25-1287`` — a per-gene ``Plotter``
+with ~25 methods: model-fit overlays, parameter bars with CIs, PCA /
+t-SNE / parallel coordinates of parameter ensembles, goodness-of-fit
+(R^2, chi^2), KL divergence, knockout overlays, Morris perturbation
+clouds, phase space, time-state grids, regularization/error summaries.
+Plotly-based 3D Pareto / convergence views are rendered with matplotlib
+(plotly is not available here).
+
+All host-side matplotlib (Agg backend); every method writes
+``<out_dir>/<gene>_<name>.png`` and returns the path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+COLORS = plt.get_cmap("tab10").colors
+
+
+class Plotter:
+    """Per-gene figure factory (reference plotting/plotting.py:25)."""
+
+    def __init__(self, gene: str, out_dir: str):
+        self.gene = gene
+        self.out_dir = str(out_dir)
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    def _save(self, fig, name: str) -> str:
+        path = os.path.join(self.out_dir, f"{self.gene}_{name}.png")
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
+    # ------------------------------------------------------------------
+    def plot_model_fit(self, time_points, sol, target=None, state_labels=None,
+                       rna_time_points=None, name="model_fit"):
+        """Fitted trajectories (solid) vs observations (markers)."""
+        sol = np.asarray(sol)
+        fig, ax = plt.subplots(figsize=(8, 5))
+        for j in range(sol.shape[1]):
+            lbl = state_labels[j] if state_labels else f"state {j}"
+            ax.plot(time_points, sol[:, j], color=COLORS[j % 10], label=lbl)
+        if target is not None:
+            tgt = np.asarray(target)
+            T = len(time_points)
+            n_r = T - 5
+            rna_t = (rna_time_points if rna_time_points is not None
+                     else time_points[5:])
+            ax.plot(rna_t, tgt[:n_r], "o", color=COLORS[0], ms=4)
+            ax.plot(time_points, tgt[n_r:n_r + T], "s", color=COLORS[1], ms=4)
+            rest = tgt[n_r + T:]
+            for j in range(len(rest) // T):
+                ax.plot(time_points, rest[j * T:(j + 1) * T], "^",
+                        color=COLORS[(2 + j) % 10], ms=4)
+        ax.set_xscale("symlog", linthresh=1.0)
+        ax.set_xlabel("time [min]")
+        ax.set_ylabel("abundance (FC)")
+        ax.set_title(f"{self.gene}: model fit")
+        ax.legend(fontsize=7, ncol=2)
+        return self._save(fig, name)
+
+    def plot_params_bar(self, ci_results: dict, param_names):
+        """Parameter estimates with CI whiskers (reference :plot_params_bar)."""
+        if ci_results is None:
+            return None
+        est = np.asarray(ci_results["beta_hat"])
+        lwr = np.asarray(ci_results["lwr_ci"])
+        upr = np.asarray(ci_results["upr_ci"])
+        fig, ax = plt.subplots(figsize=(max(6, 0.5 * len(est)), 4))
+        x = np.arange(len(est))
+        yerr = np.stack([est - lwr, upr - est])
+        ax.bar(x, est, color=COLORS[0], alpha=0.8)
+        ax.errorbar(x, est, yerr=np.maximum(yerr, 0), fmt="none", ecolor="k",
+                    capsize=3, lw=1)
+        ax.set_xticks(x)
+        ax.set_xticklabels(param_names, rotation=60, ha="right", fontsize=7)
+        ax.set_title(f"{self.gene}: parameter estimates (95% CI)")
+        return self._save(fig, "params_ci")
+
+    def plot_pca(self, param_samples, var_target=0.99):
+        """PCA of a parameter ensemble, keeping components to var_target."""
+        from sklearn.decomposition import PCA
+
+        X = np.asarray(param_samples)
+        if len(X) < 3:
+            return None
+        p = PCA(n_components=min(X.shape))
+        Z = p.fit_transform(X)
+        k = int(np.searchsorted(np.cumsum(p.explained_variance_ratio_),
+                                var_target) + 1)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        ax.scatter(Z[:, 0], Z[:, 1] if Z.shape[1] > 1 else np.zeros(len(Z)),
+                   s=10, alpha=0.6, c=COLORS[0])
+        ax.set_xlabel(f"PC1 ({p.explained_variance_ratio_[0]:.0%})")
+        if Z.shape[1] > 1:
+            ax.set_ylabel(f"PC2 ({p.explained_variance_ratio_[1]:.0%})")
+        ax.set_title(f"{self.gene}: parameter PCA ({k} comps -> {var_target:.0%} var)")
+        return self._save(fig, "pca")
+
+    def plot_tsne(self, param_samples, perplexity=15):
+        from sklearn.manifold import TSNE
+
+        X = np.asarray(param_samples)
+        if len(X) < 10:
+            return None
+        Z = TSNE(n_components=2,
+                 perplexity=min(perplexity, len(X) // 3),
+                 init="pca", random_state=42).fit_transform(X)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        ax.scatter(Z[:, 0], Z[:, 1], s=10, alpha=0.6, c=COLORS[1])
+        ax.set_title(f"{self.gene}: parameter t-SNE")
+        return self._save(fig, "tsne")
+
+    def plot_parallel(self, param_samples, param_names, values=None):
+        """Parallel coordinates across parameters."""
+        X = np.asarray(param_samples)
+        lo, hi = X.min(axis=0), X.max(axis=0)
+        span = np.where(hi - lo > 0, hi - lo, 1.0)
+        Xn = (X - lo) / span
+        fig, ax = plt.subplots(figsize=(max(6, 0.6 * X.shape[1]), 4))
+        cvals = (np.asarray(values) if values is not None
+                 else np.arange(len(X)))
+        norm = plt.Normalize(cvals.min(), cvals.max() + 1e-12)
+        for i in range(len(Xn)):
+            ax.plot(Xn[i], color=plt.cm.viridis(norm(cvals[i])), alpha=0.4, lw=0.8)
+        ax.set_xticks(range(X.shape[1]))
+        ax.set_xticklabels(param_names, rotation=60, ha="right", fontsize=7)
+        ax.set_title(f"{self.gene}: parallel coordinates")
+        return self._save(fig, "parallel")
+
+    def plot_gof(self, target, prediction):
+        """Goodness of fit: scatter + R^2 + chi^2 (reference :435-527)."""
+        t = np.asarray(target).ravel()
+        p = np.asarray(prediction).ravel()
+        ss_res = np.sum((t - p) ** 2)
+        ss_tot = np.sum((t - t.mean()) ** 2)
+        r2 = 1 - ss_res / ss_tot if ss_tot > 0 else np.nan
+        chi2 = np.sum((t - p) ** 2 / np.maximum(np.abs(p), 1e-9))
+        fig, ax = plt.subplots(figsize=(5, 5))
+        ax.scatter(t, p, s=12, alpha=0.6)
+        lims = [min(t.min(), p.min()), max(t.max(), p.max())]
+        ax.plot(lims, lims, "k--", lw=1)
+        ax.set_xlabel("observed")
+        ax.set_ylabel("predicted")
+        ax.set_title(f"{self.gene}: GOF  R2={r2:.3f}  chi2={chi2:.2f}")
+        return self._save(fig, "gof")
+
+    def plot_kld(self, target, prediction, bins=20):
+        """KL divergence between observed and predicted distributions."""
+        t = np.abs(np.asarray(target).ravel()) + 1e-12
+        p = np.abs(np.asarray(prediction).ravel()) + 1e-12
+        lo, hi = min(t.min(), p.min()), max(t.max(), p.max())
+        ht, edges = np.histogram(t, bins=bins, range=(lo, hi), density=True)
+        hp, _ = np.histogram(p, bins=bins, range=(lo, hi), density=True)
+        ht = ht + 1e-12
+        hp = hp + 1e-12
+        kld = float(np.sum(ht * np.log(ht / hp)) * (edges[1] - edges[0]))
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot(centers, ht, label="observed", color=COLORS[0])
+        ax.plot(centers, hp, label="predicted", color=COLORS[1])
+        ax.set_title(f"{self.gene}: distribution match (KLD={kld:.4f})")
+        ax.legend()
+        return self._save(fig, "kld")
+
+    def plot_knockouts(self, time_points, wt_sol, ko_sols, ko_labels,
+                       state_idx=1):
+        """Wild-type vs knockout trajectories for one state."""
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ax.plot(time_points, np.asarray(wt_sol)[:, state_idx], "k-", lw=2,
+                label="wild-type")
+        for i, (sol, lbl) in enumerate(zip(ko_sols, ko_labels)):
+            ax.plot(time_points, np.asarray(sol)[:, state_idx],
+                    color=COLORS[i % 10], lw=1, alpha=0.7, label=lbl)
+        ax.set_xscale("symlog", linthresh=1.0)
+        ax.set_title(f"{self.gene}: knockout scan")
+        ax.legend(fontsize=6, ncol=2)
+        return self._save(fig, "knockouts")
+
+    def plot_perturbation_cloud(self, time_points, solutions, best_sol=None,
+                                state_idx=0, opacity=0.05):
+        """Morris perturbation cloud (reference perturbation plots)."""
+        fig, ax = plt.subplots(figsize=(7, 4))
+        for sol in np.asarray(solutions):
+            ax.plot(time_points, sol[:, state_idx], color=COLORS[0],
+                    alpha=opacity, lw=0.8)
+        if best_sol is not None:
+            ax.plot(time_points, np.asarray(best_sol)[:, state_idx], "k-", lw=2)
+        ax.set_xscale("symlog", linthresh=1.0)
+        ax.set_title(f"{self.gene}: perturbation cloud (state {state_idx})")
+        return self._save(fig, f"perturb_{state_idx}")
+
+    def plot_morris(self, morris_result, param_names):
+        """mu* vs sigma scatter (elementary effects summary)."""
+        mu_star = np.asarray(morris_result.mu_star)
+        sigma = np.asarray(morris_result.sigma)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        ax.errorbar(mu_star, sigma, xerr=np.asarray(morris_result.mu_star_conf),
+                    fmt="o", ms=5, capsize=2)
+        for x, y, n in zip(mu_star, sigma, param_names):
+            ax.annotate(n, (x, y), fontsize=7,
+                        textcoords="offset points", xytext=(4, 2))
+        ax.set_xlabel("mu* (mean |elementary effect|)")
+        ax.set_ylabel("sigma (interaction / nonlinearity)")
+        ax.set_title(f"{self.gene}: Morris sensitivity")
+        return self._save(fig, "morris")
+
+    def plot_phase_space(self, sol, i=0, j=1, labels=("mRNA", "protein")):
+        sol = np.asarray(sol)
+        fig, ax = plt.subplots(figsize=(5, 5))
+        ax.plot(sol[:, i], sol[:, j], "-o", ms=3)
+        ax.set_xlabel(labels[0])
+        ax.set_ylabel(labels[1])
+        ax.set_title(f"{self.gene}: phase space")
+        return self._save(fig, "phase")
+
+    def plot_time_state_grid(self, time_points, sol, state_labels=None):
+        sol = np.asarray(sol)
+        d = sol.shape[1]
+        ncol = min(4, d)
+        nrow = int(np.ceil(d / ncol))
+        fig, axes = plt.subplots(nrow, ncol, figsize=(3 * ncol, 2.2 * nrow),
+                                 squeeze=False)
+        for j in range(d):
+            ax = axes[j // ncol][j % ncol]
+            ax.plot(time_points, sol[:, j], color=COLORS[j % 10])
+            ax.set_xscale("symlog", linthresh=1.0)
+            ax.set_title(state_labels[j] if state_labels else f"state {j}",
+                         fontsize=8)
+        for j in range(d, nrow * ncol):
+            axes[j // ncol][j % ncol].axis("off")
+        fig.suptitle(f"{self.gene}: per-state trajectories")
+        return self._save(fig, "state_grid")
+
+    def plot_error_summary(self, errors: dict):
+        """Bar chart over named error metrics / per-weight scores."""
+        names = list(errors)
+        vals = [errors[k] for k in names]
+        fig, ax = plt.subplots(figsize=(max(5, 0.5 * len(names)), 4))
+        ax.bar(names, vals, color=COLORS[2])
+        ax.set_xticklabels(names, rotation=60, ha="right", fontsize=7)
+        ax.set_title(f"{self.gene}: error summary")
+        return self._save(fig, "errors")
+
+
+# ---------------------------------------------------------------------------
+# global-model figures (reference global_model/export.py plot family)
+# ---------------------------------------------------------------------------
+
+def plot_pareto_3d(pareto_F, out_path, best_idx=None):
+    from mpl_toolkits.mplot3d import Axes3D  # noqa: F401
+
+    F = np.asarray(pareto_F)
+    fig = plt.figure(figsize=(7, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(F[:, 0], F[:, 1], F[:, 2], s=15, alpha=0.7)
+    if best_idx is not None:
+        ax.scatter(*F[best_idx], color="red", s=60, marker="*",
+                   label="Frechet pick")
+        ax.legend()
+    ax.set_xlabel("protein")
+    ax.set_ylabel("RNA")
+    ax.set_zlabel("phospho")
+    ax.set_title("Pareto front")
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_convergence(history, out_path):
+    """Ideal-point trajectory over generations (replaces the MP4 video)."""
+    if not history:
+        return None
+    gens = [h[0] for h in history]
+    mins = np.asarray([h[1] for h in history])
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for j, lbl in enumerate(["protein", "RNA", "phospho"][: mins.shape[1]]):
+        ax.semilogy(gens, np.maximum(mins[:, j], 1e-12), label=lbl,
+                    color=COLORS[j])
+    ax.set_xlabel("generation")
+    ax.set_ylabel("best objective")
+    ax.set_title("convergence")
+    ax.legend()
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_parallel_coords_pareto(pareto_F, out_path):
+    F = np.asarray(pareto_F)
+    lo, hi = F.min(axis=0), F.max(axis=0)
+    span = np.where(hi - lo > 0, hi - lo, 1.0)
+    Fn = (F - lo) / span
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for row in Fn:
+        ax.plot(row, alpha=0.4, color=COLORS[0])
+    ax.set_xticks(range(F.shape[1]))
+    ax.set_xticklabels(["protein", "RNA", "phospho"][: F.shape[1]])
+    ax.set_title("Pareto parallel coordinates")
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
