@@ -31,13 +31,25 @@ class Observables(NamedTuple):
 
 
 def simulate(system, params, t_eval, rtol=1e-5, atol=1e-7,
-             max_steps=5000, y0=None, dt_max=16.0) -> ODEResult:
-    """Integrate the padded system; returns Y (T, N*width) dense output."""
+             max_steps=5000, y0=None, dt_max=16.0,
+             solver: str = "rk45") -> ODEResult:
+    """Integrate the padded system; returns Y (T, N*width) dense output.
+
+    solver: "rk45" (explicit Dormand-Prince, default — these networks have
+    bounded rates) or "esdirk" (L-stable implicit Kvaerno 4/3 with Newton
+    inner solves for stiff parameter regions).
+    """
     if y0 is None:
         y0 = system.y0()
     y0_flat = jnp.asarray(y0).reshape(-1)
     boundaries = jnp.asarray(system.kin_grid)
     rhs = system.rhs_flat(params)
+    if solver == "esdirk":
+        from phoskintime_tpu.ops.stiff import odeint_esdirk
+
+        return odeint_esdirk(rhs, y0_flat, jnp.asarray(t_eval),
+                             boundaries=boundaries, max_steps=max_steps,
+                             rtol=rtol, atol=atol, dt_max=dt_max)
     return odeint_rk45(rhs, y0_flat, jnp.asarray(t_eval), boundaries=boundaries,
                        max_steps=max_steps, rtol=rtol, atol=atol, dt_max=dt_max)
 

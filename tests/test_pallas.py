@@ -1,0 +1,62 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from phoskintime_tpu.ops.pallas_kernels import (
+    hypercube_flux_pallas,
+    hypercube_flux_reference,
+    thomas_pallas,
+)
+from phoskintime_tpu.ops.tridiag import thomas_solve_batched
+
+
+class TestThomasPallas:
+    def test_matches_scan_solver(self):
+        rng = np.random.default_rng(0)
+        B, n = 37, 6
+        a = rng.normal(0, 1, (B, n)); a[:, 0] = 0
+        c = rng.normal(0, 1, (B, n)); c[:, -1] = 0
+        b = np.abs(rng.normal(0, 1, (B, n))) + 4.0
+        d = rng.normal(0, 1, (B, n))
+        got = thomas_pallas(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
+                            jnp.asarray(d), interpret=True)
+        ref = thomas_solve_batched(jnp.asarray(a), jnp.asarray(b),
+                                   jnp.asarray(c), jnp.asarray(d))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_single_lane_batch(self):
+        a = jnp.asarray([[0.0, -1.0, -1.0]])
+        b = jnp.asarray([[4.0, 4.0, 4.0]])
+        c = jnp.asarray([[-1.0, -1.0, 0.0]])
+        d = jnp.asarray([[1.0, 2.0, 3.0]])
+        got = thomas_pallas(a, b, c, d, interpret=True)
+        A = np.diag([4.0, 4, 4]) + np.diag([-1.0, -1], -1) + np.diag([-1.0, -1], 1)
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.linalg.solve(A, np.asarray(d[0])),
+                                   rtol=1e-10)
+
+
+class TestHypercubePallas:
+    def test_matches_reference(self):
+        rng = np.random.default_rng(1)
+        smax = 3
+        N, Mmax = 11, 1 << smax
+        X = jnp.asarray(rng.uniform(0, 1, (N, Mmax)))
+        S = jnp.asarray(rng.uniform(0.1, 2.0, (N, smax)))
+        E = jnp.asarray(rng.uniform(0.1, 2.0, N))
+        got = hypercube_flux_pallas(X, S, E, smax, interpret=True)
+        ref = hypercube_flux_reference(X, S, E, smax)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_mass_conservation(self):
+        # pure edge fluxes conserve total mass per protein
+        rng = np.random.default_rng(2)
+        smax = 4
+        X = jnp.asarray(rng.uniform(0, 1, (5, 1 << smax)))
+        S = jnp.asarray(rng.uniform(0.1, 2.0, (5, smax)))
+        E = jnp.asarray(rng.uniform(0.1, 2.0, 5))
+        dX = hypercube_flux_pallas(X, S, E, smax, interpret=True)
+        np.testing.assert_allclose(np.asarray(dX).sum(axis=1), 0.0, atol=1e-10)
