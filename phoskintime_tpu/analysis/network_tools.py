@@ -1,0 +1,121 @@
+"""Network readout / subnetwork / curve-similarity tools.
+
+Spec: reference ``scripts/`` standalone analyses —
+``kinopt_network_readout.py`` / ``tfopt_network_readout.py`` (summary
+tables from result workbooks), ``export_subnetworks.py`` (ego networks
+around a protein), ``curve_similarity.py`` (Frechet-distance clustering),
+``temporal_sensitivity.py`` (per-timepoint Sobol heatmap — see
+:mod:`phoskintime_tpu.ops.sobol`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from phoskintime_tpu.ops.frechet import frechet_distance
+
+
+def kinopt_network_readout(alpha_df: pd.DataFrame,
+                           beta_df: pd.DataFrame) -> pd.DataFrame:
+    """Per-kinase summary: targets, total |alpha| influence, mean beta."""
+    a = alpha_df.groupby("Kinase").agg(
+        n_targets=("Gene", "nunique"),
+        n_sites=("Psite", "count"),
+        total_alpha=("Alpha", lambda s: float(np.abs(s).sum())),
+        mean_alpha=("Alpha", "mean")).reset_index()
+    glob = beta_df[beta_df["Psite"].astype(str).str.strip() == ""]
+    b = glob.groupby("Kinase")["Beta"].mean().rename("beta").reset_index()
+    return a.merge(b, on="Kinase", how="left").sort_values(
+        "total_alpha", ascending=False).reset_index(drop=True)
+
+
+def tfopt_network_readout(alpha_df: pd.DataFrame,
+                          beta_df: pd.DataFrame) -> pd.DataFrame:
+    """Per-TF summary: regulated genes, total influence, protein beta."""
+    a = alpha_df.groupby("TF").agg(
+        n_genes=("mRNA", "nunique"),
+        total_alpha=("Value", lambda s: float(np.abs(s).sum())),
+        mean_alpha=("Value", "mean")).reset_index()
+    prot = beta_df[beta_df["PSite"].astype(str).str.strip() == ""]
+    b = prot.groupby("TF")["Value"].mean().rename("protein_beta").reset_index()
+    return a.merge(b, on="TF", how="left").sort_values(
+        "total_alpha", ascending=False).reset_index(drop=True)
+
+
+def export_subnetwork(topo, center: str, radius: int = 1):
+    """Ego network (kinase + TF edges) around a protein."""
+    frontier = {center}
+    nodes = {center}
+    edges = []
+    for _ in range(radius):
+        new = set()
+        for i, p in enumerate(topo.proteins):
+            for j, site in enumerate(topo.sites[i]):
+                for k, kin in enumerate(topo.kinases):
+                    if topo.W_pad[i, j, k] != 0 and (p in frontier or kin in frontier):
+                        edges.append(("kinase", kin, p, site,
+                                      float(topo.W_pad[i, j, k])))
+                        new.update({p, kin})
+        tf = topo.tf_mat
+        for tgt_i in range(topo.N):
+            for src_i in range(topo.N):
+                if tf[tgt_i, src_i] != 0:
+                    src, tgt = topo.proteins[src_i], topo.proteins[tgt_i]
+                    if src in frontier or tgt in frontier:
+                        edges.append(("tf", src, tgt, "", float(tf[tgt_i, src_i])))
+                        new.update({src, tgt})
+        nodes |= new
+        frontier = new
+    df = pd.DataFrame(edges, columns=["kind", "source", "target", "site",
+                                      "weight"]).drop_duplicates()
+    return df, sorted(nodes)
+
+
+def curve_similarity_matrix(curves: dict[str, np.ndarray]) -> pd.DataFrame:
+    """Pairwise discrete-Frechet distances between named (T, d) curves."""
+    names = list(curves)
+    n = len(names)
+    D = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = float(frechet_distance(jnp.asarray(curves[names[i]], float),
+                                       jnp.asarray(curves[names[j]], float)))
+            D[i, j] = D[j, i] = d
+    return pd.DataFrame(D, index=names, columns=names)
+
+
+def cluster_curves(similarity: pd.DataFrame, n_clusters: int = 3) -> pd.Series:
+    """Agglomerative clustering on the Frechet distance matrix."""
+    from sklearn.cluster import AgglomerativeClustering
+
+    labels = AgglomerativeClustering(
+        n_clusters=min(n_clusters, len(similarity)), metric="precomputed",
+        linkage="average").fit_predict(similarity.to_numpy())
+    return pd.Series(labels, index=similarity.index, name="cluster")
+
+
+def temporal_sensitivity_heatmap(S_t: np.ndarray, param_names, times,
+                                 out_path: str, title="temporal Sobol ST"):
+    """Heatmap of per-timepoint total Sobol indices
+    (reference scripts/temporal_sensitivity.py:192-219)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(max(6, 0.35 * len(times)),
+                                    max(4, 0.3 * len(param_names))))
+    im = ax.imshow(np.asarray(S_t).T, aspect="auto", cmap="viridis",
+                   origin="lower")
+    ax.set_xticks(range(len(times)))
+    ax.set_xticklabels([f"{t:g}" for t in times], rotation=60, fontsize=7)
+    ax.set_yticks(range(len(param_names)))
+    ax.set_yticklabels(param_names, fontsize=7)
+    ax.set_xlabel("time [min]")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

@@ -1,0 +1,164 @@
+"""Auxiliary subsystem tests: checkpointing, Sobol, analysis tools,
+dashboard bundle, mesh helpers."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from phoskintime_tpu.analysis import (
+    cluster_curves,
+    curve_similarity_matrix,
+    export_subnetwork,
+    find_protein_accumulators,
+    kinopt_network_readout,
+)
+from phoskintime_tpu.ops.nsga import run_unsga3
+from phoskintime_tpu.ops.sobol import saltelli_sample, sobol_analyze, temporal_sobol
+from phoskintime_tpu.parallel import (
+    GACheckpointer,
+    load_checkpoint,
+    pad_to_devices,
+    population_mesh,
+    save_checkpoint,
+)
+from phoskintime_tpu.report.dashboard import (
+    load_dashboard_bundle,
+    render_dashboard,
+    save_dashboard_bundle,
+)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        p = str(tmp_path / "c.ckpt")
+        save_checkpoint(p, {"a": np.arange(5), "b": "x"})
+        st = load_checkpoint(p)
+        np.testing.assert_array_equal(st["a"], np.arange(5))
+        assert load_checkpoint(str(tmp_path / "missing")) is None
+
+    def test_ga_resume(self, tmp_path):
+        f3 = lambda X: np.stack([((X - c) ** 2).sum(axis=1)
+                                 for c in (0.0, 0.5, 1.0)], axis=1)
+        p = str(tmp_path / "ga.ckpt")
+        ck = GACheckpointer(p, every=2)
+        res1 = run_unsga3(f3, np.zeros(4), np.ones(4), pop_size=16, n_gen=6,
+                          n_partitions=4, seed=0, ftol=0.0, callback=ck)
+        assert ck.resume_x0() is None  # the instance loaded before running
+
+        ck2 = GACheckpointer(p, every=2)
+        x0 = ck2.resume_x0()
+        assert x0 is not None and x0.shape == (16, 4)
+        res2 = run_unsga3(f3, np.zeros(4), np.ones(4), pop_size=16, n_gen=3,
+                          n_partitions=4, seed=1, ftol=0.0, x0=x0, callback=ck2)
+        # resumed run should not regress below the checkpointed quality
+        assert res2.pareto_F.min() <= res1.F.min() + 1e-6
+
+
+class TestSobol:
+    def test_additive_model_indices(self):
+        # Y = x0 + 2 x1 (+ no x2): analytic S1 = (1, 4, 0)/5, ST = S1
+        bounds = np.array([[0.0, 1.0]] * 3)
+        X = saltelli_sample(bounds, 256, seed=0)
+        Y = X[:, 0] + 2 * X[:, 1]
+        res = sobol_analyze(3, Y)
+        np.testing.assert_allclose(res.S1, [0.2, 0.8, 0.0], atol=0.05)
+        np.testing.assert_allclose(res.ST, [0.2, 0.8, 0.0], atol=0.05)
+
+    def test_interaction_total_exceeds_first(self):
+        bounds = np.array([[0.0, 1.0]] * 2)
+        X = saltelli_sample(bounds, 512, seed=1)
+        Y = X[:, 0] * X[:, 1]
+        res = sobol_analyze(2, Y)
+        assert res.ST[0] > res.S1[0] + 0.05
+
+    def test_temporal(self):
+        bounds = np.array([[0.0, 1.0]] * 2)
+
+        def evaluate(X):
+            t = np.linspace(0, 1, 5)[None, :]
+            return X[:, :1] * (1 - t) + X[:, 1:2] * t
+
+        S1, ST, _ = temporal_sobol(evaluate, bounds, n_base=128, seed=2)
+        assert S1.shape == (5, 2)
+        # influence shifts from param 0 to param 1 over time
+        assert S1[0, 0] > S1[0, 1]
+        assert S1[-1, 1] > S1[-1, 0]
+
+
+class TestAnalysisTools:
+    def test_curve_similarity_and_clusters(self):
+        t = np.linspace(0, 1, 10)
+        curves = {
+            "a": np.stack([t, np.sin(t)], 1),
+            "b": np.stack([t, np.sin(t) + 0.01], 1),
+            "c": np.stack([t, 5 + np.cos(t)], 1),
+        }
+        D = curve_similarity_matrix(curves)
+        assert D.loc["a", "b"] < D.loc["a", "c"]
+        labels = cluster_curves(D, n_clusters=2)
+        assert labels["a"] == labels["b"] != labels["c"]
+
+    def test_kinopt_readout(self):
+        alpha = pd.DataFrame({"Gene": ["G1", "G1", "G2"],
+                              "Psite": ["S1", "S2", "S1"],
+                              "Kinase": ["K1", "K1", "K2"],
+                              "Alpha": [0.5, 0.5, 1.0]})
+        beta = pd.DataFrame({"Kinase": ["K1", "K2"], "Psite": ["", ""],
+                             "Beta": [1.0, 2.0]})
+        out = kinopt_network_readout(alpha, beta)
+        assert set(out["Kinase"]) == {"K1", "K2"}
+        k1 = out[out["Kinase"] == "K1"].iloc[0]
+        assert k1["n_targets"] == 1 and k1["n_sites"] == 2
+        assert k1["total_alpha"] == pytest.approx(1.0)
+        k2 = out[out["Kinase"] == "K2"].iloc[0]
+        assert k2["beta"] == pytest.approx(2.0)
+
+    def test_subnetwork(self):
+        import pandas as pd
+        from phoskintime_tpu.network import build_topology
+
+        inter = pd.DataFrame({"protein": ["GA", "GB"], "psite": ["S1", "S1"],
+                              "kinase": ["K1", "K2"]})
+        tf = pd.DataFrame({"tf": ["GA"], "target": ["GB"]})
+        topo = build_topology(inter, tf)
+        df, nodes = export_subnetwork(topo, "GA", radius=1)
+        assert "GA" in nodes
+        assert (df["kind"] == "tf").any()
+
+    def test_accumulators(self):
+        from phoskintime_tpu.network.analysis import SteadyStateReport
+
+        rep = SteadyStateReport(
+            times=np.array([0.0, 1.0]),
+            tot=np.array([[1.0, 1.0], [5.0, 1.1]]),
+            rna=np.zeros((2, 2)),
+            converged=np.array([True, True]),
+            final_rate=np.zeros(2),
+            ss_value=np.array([5.0, 1.1]))
+        df = find_protein_accumulators(rep, ["P1", "P2"], threshold=2.0)
+        assert bool(df[df["protein"] == "P1"]["accumulator"].iloc[0])
+        assert not bool(df[df["protein"] == "P2"]["accumulator"].iloc[0])
+
+
+class TestDashboard:
+    def test_bundle_and_render(self, tmp_path):
+        p = str(tmp_path / "bundle.pkl")
+        save_dashboard_bundle(
+            p, pareto_X=np.random.rand(5, 3), pareto_F=np.random.rand(5, 3),
+            best_idx=2, history=[(1, np.ones(3), np.ones(3))],
+            topo_summary={"N": 4, "K": 2})
+        b = load_dashboard_bundle(p)
+        assert b["best_idx"] == 2
+        out = render_dashboard(b, str(tmp_path / "dash"))
+        assert out.endswith("dashboard.html")
+        import os
+        assert os.path.exists(out)
+
+
+class TestMesh:
+    def test_population_mesh_cpu8(self):
+        mesh = population_mesh()
+        assert mesh is not None  # conftest forces 8 CPU devices
+        assert pad_to_devices(10, mesh) == 16
+        assert pad_to_devices(16, mesh) == 16
+        assert pad_to_devices(5, None) == 5
