@@ -3,7 +3,8 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: global-model objective evaluations per second (one evaluation =
-softplus unpack -> full-network RK45 integration over the union grid ->
+softplus unpack -> full-network stiff integration over the union grid
+(bucketed ETD2RK exponential integrator, the production fit path) ->
 3-modality robust loss) at population batch 256 on a 40-protein synthetic
 network mirroring the reference's data scale.
 
@@ -29,18 +30,19 @@ def tpu_rate():
     import jax.numpy as jnp
 
     from phoskintime_tpu.demo import build_demo_network
-    from phoskintime_tpu.network.objective import make_objective
+    from phoskintime_tpu.network.objective import make_population_objective
 
     b = build_demo_network(n_proteins=N_PROTEINS, n_kinases=N_KINASES,
                            seed=0, dtype=np.float32)
-    objective = make_objective(b["system"], b["slices"], b["loss_data"],
-                               b["defaults"], b["lambdas"], b["grid"])
+    objective = make_population_objective(
+        b["system"], b["slices"], b["loss_data"], b["defaults"],
+        b["lambdas"], b["grid"])
     rng = np.random.default_rng(0)
     thetas = jnp.asarray(
         b["theta0"][None] + 0.05 * rng.normal(size=(POP, len(b["theta0"]))),
         jnp.float32)
 
-    f = jax.jit(jax.vmap(objective))
+    f = jax.jit(objective)
     F = f(thetas)
     jax.block_until_ready(F)  # compile + warmup
     assert bool(jnp.all(jnp.isfinite(F))), "non-finite objectives"
@@ -107,7 +109,7 @@ def main():
     print(json.dumps({
         "metric": "global_model_objective_evals_per_s",
         "value": round(rate, 2),
-        "unit": "evals/s (pop=256, N=40 proteins, full RK45 + 3-mod loss)",
+        "unit": "evals/s (pop=256, N=40 proteins, ETD2RK + 3-mod loss)",
         "vs_baseline": round(rate / baseline, 3),
     }))
 

@@ -1,0 +1,366 @@
+"""Exponential (ETD2RK) integrator for the global network model.
+
+The TPU-native replacement for step-by-step adaptive integration of this
+system. Key structural facts (models 0/1/2):
+
+* Within one kinase bucket the RHS is **affine** in the state: site rates S
+  are frozen, and the only nonlinearity — the rational synthesis term —
+  enters through the scalar TF input u (the single cross-protein coupling).
+* With u frozen, the linear operator L is **block-diagonal per protein**
+  (block width = 2 + Smax, or 1 + 2^Smax for the combinatorial model).
+
+So we split dy = L y + g(y) with g = rhs - L y (the synthesis coupling) and
+integrate each static segment with the exponential trapezoidal rule
+(Cox & Matthews 2002 ETD2RK):
+
+    a    = E y_n + Phi1 g(y_n)
+    y_+  = a + (Phi2 / h) (g(a) - g(y_n))
+
+where E = expm(L h), Phi1 = h*phi1(Lh), Phi2 = h^2*phi2(Lh) come from ONE
+Van Loan augmented expm of the (3w, 3w) block — all segments x proteins
+batched into a single small-matrix expm on the MXU.
+
+The stiff linear decay is integrated **exactly**, so the sequential chain
+shrinks from ~1250 stability-bound RK45 steps to ~40-100 fixed segments
+(t_eval points + bucket boundaries + a substep refinement for the slow
+nonlinear coupling). No while_loop, no lane divergence — a vmapped
+population runs in lockstep.
+
+Accuracy: local error O(h^3 * d2/dt2 of the synthesis drive); validated
+against tight-tolerance RK45 in the test suite (rtol ~1e-5 at substep=16).
+Model 4 (Michaelis-Menten) has state-dependent L and is not supported —
+callers fall back to RK45/ESDIRK.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phoskintime_tpu.ops.integrators import ODEResult
+
+
+@lru_cache(maxsize=None)
+def _segment_plan(kin_grid: tuple, t_eval: tuple, substep: float,
+                  early_t: float = 64.0, early_div: int = 4,
+                  very_early_t: float = 4.0, very_early_div: int = 8):
+    """Static plan: segments (t0, h, bucket) covering [0, t_end], with every
+    t_eval point landing on a segment boundary. Returns numpy arrays plus
+    the map from t_eval index -> segment index whose end equals it.
+
+    The grid is graded: intervals in the transient window (< ``early_t``)
+    are subdivided ``early_div``-fold, the initial burst (< ``very_early_t``)
+    ``very_early_div``-fold — that is where the nonlinear synthesis drive
+    varies fastest."""
+    grid = np.asarray(kin_grid, float)
+    te = np.asarray(t_eval, float)
+    t_end = te[-1]
+    knots = np.unique(np.concatenate([[0.0], te, grid[(grid > 0) & (grid < t_end)]]))
+    knots = knots[(knots >= 0.0) & (knots <= t_end)]
+
+    seg_t0, seg_h, seg_jb = [], [], []
+    for a, b in zip(knots[:-1], knots[1:]):
+        n_sub = max(1, int(np.ceil((b - a) / substep)))
+        if a < very_early_t:
+            n_sub *= very_early_div
+        elif a < early_t:
+            n_sub *= early_div
+        hs = (b - a) / n_sub
+        for k in range(n_sub):
+            t0 = a + k * hs
+            jb = int(np.clip(np.searchsorted(grid, t0, side="right") - 1, 0,
+                             len(grid) - 1))
+            seg_t0.append(t0)
+            seg_h.append(hs)
+            seg_jb.append(jb)
+    seg_t0 = np.asarray(seg_t0)
+    seg_h = np.asarray(seg_h)
+    seg_jb = np.asarray(seg_jb, np.int32)
+    seg_end = seg_t0 + seg_h
+
+    out_idx = np.full(len(te), -1, np.int64)
+    for i, t in enumerate(te):
+        if t <= 0.0:
+            out_idx[i] = -1  # initial state
+        else:
+            out_idx[i] = int(np.argmin(np.abs(seg_end - t)))
+
+    # unique (bucket, h) pairs: propagators are computed once per pair and
+    # gathered per segment (bounds memory: tiny padded matrices are held
+    # only U-fold, not S-fold)
+    pairs = np.stack([seg_jb.astype(float), np.round(seg_h, 9)], axis=1)
+    uniq, uidx = np.unique(pairs, axis=0, return_inverse=True)
+    u_jb = uniq[:, 0].astype(np.int32)
+    u_h = uniq[:, 1]
+    return (seg_t0, seg_h, seg_jb, out_idx, uidx.astype(np.int32), u_jb, u_h)
+
+
+def _block_linear_operators(system, params, buckets: np.ndarray, dtype):
+    """(B, N, w, w) block-diagonal linear parts, one per unique bucket.
+
+    With u frozen the RHS is affine and block-diagonal, so w jvp passes
+    (one per block slot, all proteins at once) recover the exact blocks.
+    """
+    topo = system.topo
+    N, w = topo.N, topo.width
+    u0 = jnp.zeros((N,), dtype)
+    y_lin = jnp.zeros((N * w,), dtype)
+
+    def columns_for_bucket(jb):
+        def f(y_flat):
+            return system.rhs(0.0, y_flat, jb, params, u_override=u0)
+
+        def col(j):
+            v = jnp.zeros((N, w), dtype).at[:, j].set(1.0).reshape(-1)
+            _, tangent = jax.jvp(f, (y_lin,), (v,))
+            return tangent.reshape(N, w)  # column j of every block
+
+        cols = jax.vmap(col)(jnp.arange(w))         # (w, N, w)
+        return jnp.transpose(cols, (1, 2, 0))       # (N, w, w): [i, row, col]
+
+    return jax.vmap(columns_for_bucket)(jnp.asarray(buckets))
+
+
+_MAX_SQUARINGS = 24
+_TAYLOR_TERMS = 12
+
+
+def _mm_lanes(x, y):
+    """(w, w, B) @ (w, w, B) block matmul as w fused multiply-adds.
+
+    Written as an explicit j-loop of elementwise broadcasts so XLA keeps the
+    batch on the LANES: a ``dot_general`` over a (B, w, w) batch tile-pads
+    every tiny matrix to (8, 128) (9.5x memory/bandwidth waste — measured
+    OOM at pop 1024); this form's only padding is w -> 8 sublanes.
+    """
+    w = x.shape[0]
+    acc = x[:, 0, None, :] * y[None, 0, :, :]
+    for j in range(1, w):
+        acc = acc + x[:, j, None, :] * y[None, j, :, :]
+    return acc
+
+
+def expm_taylor_batched(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched matrix exponential for LARGE batches of TINY matrices.
+
+    Lane-layout scaling + Taylor-Horner + fixed masked squaring — no Pade
+    denominator solve (batched LU serializes on TPU), no data-dependent
+    control flow, no tile-padded batched matmuls. A: (B, w, w).
+    """
+    At = jnp.transpose(A, (1, 2, 0))                       # (w, w, B)
+    norm = jnp.max(jnp.sum(jnp.abs(At), axis=1), axis=0)   # inf-norm, (B,)
+    s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.25)))
+    s = jnp.minimum(s, float(_MAX_SQUARINGS))
+    At = At / (2.0 ** s)[None, None, :]
+
+    w = A.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(w, dtype=A.dtype)[:, :, None], At.shape)
+    R = eye
+    for k in range(_TAYLOR_TERMS, 0, -1):
+        R = eye + _mm_lanes(At / k, R)
+
+    def body(i, Rc):
+        R2 = _mm_lanes(Rc, Rc)
+        return jnp.where((i < s)[None, None, :], R2, Rc)
+
+    R = jax.lax.fori_loop(0, _MAX_SQUARINGS, body, R)
+    return jnp.transpose(R, (2, 0, 1))
+
+
+def _phi_matrices(L, h):
+    """E = expm(Lh), Phi1 = h phi1(Lh), Phi2 = h^2 phi2(Lh), batched.
+
+    Instead of a (3w, 3w) Van Loan augmentation (9x the flops/memory of the
+    base block), the three matrices are built together by scaling + short
+    Taylor series + the exact doubling identities
+
+        E(2h)    = E(h)^2
+        Phi1(2h) = (I + E(h)) Phi1(h)
+        Phi2(2h) = (I + E(h)) Phi2(h) + h Phi1(h)
+
+    (derived from Phi1 = int_0^h e^{Ls} ds, Phi2 = int_0^h e^{L(h-s)} s ds),
+    all in the lane-resident layout. L: (B, w, w); h: (B,). No inversion of
+    L anywhere, so singular/near-singular blocks are fine.
+    """
+    w = L.shape[-1]
+    A = jnp.transpose(L, (1, 2, 0)) * jnp.asarray(h)[None, None, :]  # Lh
+    norm = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)
+    s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.25)))
+    s = jnp.minimum(s, float(_MAX_SQUARINGS))
+    scale = 2.0 ** s
+    A = A / scale[None, None, :]
+    hs = jnp.asarray(h) / scale                       # (B,) scaled step
+
+    eye = jnp.broadcast_to(jnp.eye(w, dtype=L.dtype)[:, :, None], A.shape)
+    # E by Horner; phi1 = sum_k A^k/(k+1)!, phi2 = sum_k A^k/(k+2)! by the
+    # plain series sharing the powers A^k/k! (||A|| <= 0.25 after scaling,
+    # so 12 terms are beyond f64 accuracy).
+    E = eye
+    for k in range(_TAYLOR_TERMS, 0, -1):
+        E = eye + _mm_lanes(A / k, E)
+    term = eye
+    F1 = eye
+    F2 = eye / 2.0
+    for k in range(1, _TAYLOR_TERMS + 1):
+        term = _mm_lanes(term, A) / k                 # A^k / k!
+        F1 = F1 + term / (k + 1)
+        F2 = F2 + term / ((k + 1) * (k + 2))
+    Phi1 = F1 * hs[None, None, :]
+    Phi2 = F2 * (hs * hs)[None, None, :]
+
+    def body(i, carry):
+        Ec, P1c, P2c, hc = carry
+        go = (i < s)[None, None, :]
+        go_h = (i < s)
+        P2n = P2c + _mm_lanes(Ec, P2c) + P1c * hc[None, None, :]
+        P1n = P1c + _mm_lanes(Ec, P1c)
+        En = _mm_lanes(Ec, Ec)
+        return (jnp.where(go, En, Ec), jnp.where(go, P1n, P1c),
+                jnp.where(go, P2n, P2c), jnp.where(go_h, 2 * hc, hc))
+
+    E, Phi1, Phi2, _ = jax.lax.fori_loop(
+        0, _MAX_SQUARINGS, body, (E, Phi1, Phi2, hs))
+    tr = lambda M: jnp.transpose(M, (2, 0, 1))
+    return tr(E), tr(Phi1), tr(Phi2)
+
+
+def exponential_simulate_batched(system, params_b, t_eval,
+                                 substep: float = 16.0, y0=None):
+    """Natively-batched ETD2RK: params_b leaves carry a leading population
+    axis P; returns (ys (P, T, d), success (P,)).
+
+    This exists because composing ``jax.vmap`` over the per-candidate
+    version leaves the tiny propagator matrices in a layout XLA handles
+    poorly; here the (P x pairs x proteins) block batch is flattened into
+    ONE lane-parallel expm call (0.3 ms for ~160k blocks on v5e), and the
+    segment scan advances the whole population in lockstep.
+    """
+    topo = system.topo
+    if topo.model == 4:
+        raise ValueError("exponential integrator supports models 0/1/2")
+    N, w = topo.N, topo.width
+    P = jax.tree.leaves(params_b)[0].shape[0]
+    if y0 is None:
+        y0 = system.y0()
+    dtype = system.rhs.W_pad.dtype
+    y0b = jnp.broadcast_to(jnp.asarray(y0, dtype).reshape(-1)[None],
+                           (P, N * w))
+
+    (seg_t0, seg_h, seg_jb, out_idx, seg_uidx, u_jb, u_h) = _segment_plan(
+        tuple(np.asarray(system.kin_grid, float)),
+        tuple(np.asarray(t_eval, float)), float(substep))
+
+    bucket_uniq, bucket_inv = np.unique(u_jb, return_inverse=True)
+    L_bucket = jax.vmap(
+        lambda p: _block_linear_operators(system, p, bucket_uniq, dtype)
+    )(params_b)                                          # (P, Bu, N, w, w)
+
+    U = len(u_jb)
+    u_L = L_bucket[:, jnp.asarray(bucket_inv)]           # (P, U, N, w, w)
+    h_rep = jnp.broadcast_to(jnp.asarray(u_h, dtype)[None, :, None],
+                             (P, U, N)).reshape(-1)
+    E_f, P1_f, P2_f = _phi_matrices(u_L.reshape(P * U * N, w, w), h_rep)
+    E_u = E_f.reshape(P, U, N, w, w)
+    Phi1_u = P1_f.reshape(P, U, N, w, w)
+    Phi2_u = P2_f.reshape(P, U, N, w, w)
+
+    t0s = jnp.asarray(seg_t0, dtype)
+    hs = jnp.asarray(seg_h, dtype)
+    jbs = jnp.asarray(seg_jb)
+    uidxs = jnp.asarray(seg_uidx)
+    bslots = jnp.asarray(bucket_inv)[uidxs]
+
+    bmv = lambda M, v: jnp.einsum("pnij,pnj->pni", M, v)
+
+    def g_of(t, Yb, jb, L):
+        r = jax.vmap(lambda yy, pp: system.rhs(t, yy.reshape(-1), jb, pp)
+                     )(Yb, params_b).reshape(P, N, w)
+        return r - bmv(L, Yb)
+
+    def step(y, seg):
+        t0, h, jb, uidx, bslot = seg
+        Es, P1, P2 = E_u[:, uidx], Phi1_u[:, uidx], Phi2_u[:, uidx]
+        L = L_bucket[:, bslot]
+        Y = y.reshape(P, N, w)
+        g_n = g_of(t0, Y, jb, L)
+        a = bmv(Es, Y) + bmv(P1, g_n)
+        g_a = g_of(t0 + h, a, jb, L)
+        Y_new = a + bmv(P2 / h, g_a - g_n)
+        y_new = Y_new.reshape(P, N * w)
+        return y_new, y_new
+
+    _, ys_seg = jax.lax.scan(step, y0b, (t0s, hs, jbs, uidxs, bslots))
+    ys_all = jnp.concatenate([y0b[None], ys_seg], axis=0)  # (S+1, P, d)
+    ys = jnp.transpose(ys_all[jnp.asarray(out_idx) + 1], (1, 0, 2))
+    success = jnp.all(jnp.isfinite(ys), axis=(1, 2))
+    return ys, success
+
+
+def exponential_simulate(system, params, t_eval, substep: float = 16.0,
+                         y0=None) -> ODEResult:
+    """Integrate the padded system over ``t_eval`` with bucketed ETD2RK."""
+    topo = system.topo
+    if topo.model == 4:
+        raise ValueError("exponential integrator supports models 0/1/2 "
+                         "(model 4 has state-dependent linear parts)")
+    N, w = topo.N, topo.width
+    if y0 is None:
+        y0 = system.y0()
+    dtype = system.rhs.W_pad.dtype
+    y0 = jnp.asarray(y0, dtype).reshape(-1)
+    t_eval_j = jnp.asarray(t_eval, dtype)
+
+    (seg_t0, seg_h, seg_jb, out_idx, seg_uidx, u_jb, u_h) = _segment_plan(
+        tuple(np.asarray(system.kin_grid, float)),
+        tuple(np.asarray(t_eval, float)), float(substep))
+    S = len(seg_t0)
+
+    # linear operators per unique bucket
+    bucket_uniq, bucket_inv = np.unique(u_jb, return_inverse=True)
+    L_bucket = _block_linear_operators(system, params, bucket_uniq, dtype)
+
+    # propagator tables per unique (bucket, h) pair, sequentially to bound
+    # the footprint of the tile-padded tiny matrices
+    u_L = L_bucket[jnp.asarray(bucket_inv)]            # (U, N, w, w)
+    u_h_j = jnp.asarray(u_h, dtype)
+
+    def phis_one(args):
+        L_u, h_u = args
+        return _phi_matrices(L_u, jnp.broadcast_to(h_u, (N,)))
+
+    E_u, Phi1_u, Phi2_u = jax.lax.map(phis_one, (u_L, u_h_j))  # (U, N, w, w)
+
+    t0s = jnp.asarray(seg_t0, dtype)
+    hs = jnp.asarray(seg_h, dtype)
+    jbs = jnp.asarray(seg_jb)
+    uidxs = jnp.asarray(seg_uidx)
+    seg_bucket_slot = jnp.asarray(bucket_inv)[uidxs]   # segment -> L table row
+
+    bmv = lambda M, v: jnp.einsum("nij,nj->ni", M, v)
+
+    def g_of(t, Y, jb, L):
+        r = system.rhs(t, Y.reshape(-1), jb, params).reshape(N, w)
+        return r - bmv(L, Y)
+
+    def step(y, seg):
+        t0, h, jb, uidx, bslot = seg
+        Es, P1, P2 = E_u[uidx], Phi1_u[uidx], Phi2_u[uidx]
+        L = L_bucket[bslot]
+        Y = y.reshape(N, w)
+        g_n = g_of(t0, Y, jb, L)
+        a = bmv(Es, Y) + bmv(P1, g_n)
+        g_a = g_of(t0 + h, a, jb, L)
+        Y_new = a + bmv(P2 / h, g_a - g_n)
+        y_new = Y_new.reshape(-1)
+        return y_new, y_new
+
+    _, ys_seg = jax.lax.scan(step, y0, (t0s, hs, jbs, uidxs, seg_bucket_slot))
+
+    ys_all = jnp.concatenate([y0[None], ys_seg], axis=0)  # index -1 -> slot 0
+    ys = ys_all[jnp.asarray(out_idx) + 1]
+    success = jnp.all(jnp.isfinite(ys))
+    return ODEResult(ys, success, jnp.asarray(S, jnp.int32),
+                     jnp.asarray(S, jnp.int32))

@@ -67,11 +67,26 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                    frechet_pick=True, df_prot=None, df_rna=None, df_pho=None,
                    t_points=None, callback=None, logger=None,
                    ftol=0.0025, ftol_period=30,
-                   n_max_evals=100_000) -> GlobalFitResult:
-    """End-to-end global fit (the runner.main optimization core)."""
-    objective = make_objective(system, slices, loss_data, defaults, lambdas,
-                               time_grid, loss_mode=loss_mode, rtol=rtol,
-                               atol=atol, max_steps=max_steps, y0=y0)
+                   n_max_evals=100_000, solver="auto") -> GlobalFitResult:
+    """End-to-end global fit (the runner.main optimization core).
+
+    solver: "auto" uses the batched exponential (ETD2RK) fast path for
+    mechanisms 0/1/2 (~4x the RK45 throughput) and RK45 for model 4;
+    "rk45"/"esdirk"/"expo" force a choice.
+    """
+    if solver == "auto":
+        solver = "expo" if system.topo.model in (0, 1, 2) else "rk45"
+    if solver == "expo":
+        from phoskintime_tpu.network.objective import make_population_objective
+
+        objective = make_population_objective(
+            system, slices, loss_data, defaults, lambdas, time_grid,
+            loss_mode=loss_mode, y0=y0)
+    else:
+        objective = make_objective(system, slices, loss_data, defaults,
+                                   lambdas, time_grid, loss_mode=loss_mode,
+                                   rtol=rtol, atol=atol, max_steps=max_steps,
+                                   y0=y0, solver=solver)
     evaluate = make_batched_evaluate(objective, mesh=mesh)
 
     if optimizer == "optuna":

@@ -111,12 +111,18 @@ class PaddedRHS:
         return jnp.where(self.driven, Kt[self.driver_idx], tot)
 
     # -- main entry -------------------------------------------------------
-    def __call__(self, t, y_flat, jb, params):
+    def __call__(self, t, y_flat, jb, params, u_override=None):
+        """RHS evaluation; ``u_override`` freezes the TF input (used by the
+        exponential integrator to expose the block-diagonal linear part —
+        with u constant, no cross-protein coupling remains)."""
         Y = y_flat.reshape(self.N, self.width)
         Kt = self.kinase_activity(params, jb)
         S = self.site_rates(Kt)
-        P_vec = self.p_vec(Y, Kt)
-        u = tf_inputs(self.tf_mat, self.tf_deg, P_vec)
+        if u_override is None:
+            P_vec = self.p_vec(Y, Kt)
+            u = tf_inputs(self.tf_mat, self.tf_deg, P_vec)
+        else:
+            u = u_override
         synth = synthesis_rate(params["A_i"], params["tf_scale"], u)
 
         if self.model == 2:

@@ -41,6 +41,10 @@ def simulate(system, params, t_eval, rtol=1e-5, atol=1e-7,
     """
     if y0 is None:
         y0 = system.y0()
+    if solver == "expo":
+        from phoskintime_tpu.network.expo import exponential_simulate
+
+        return exponential_simulate(system, params, t_eval, y0=y0)
     y0_flat = jnp.asarray(y0).reshape(-1)
     boundaries = jnp.asarray(system.kin_grid)
     rhs = system.rhs_flat(params)

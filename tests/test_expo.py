@@ -1,0 +1,107 @@
+"""Exponential (ETD2RK) integrator tests: phi-matrix identities and
+accuracy vs tight-tolerance RK45 on real network systems."""
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from phoskintime_tpu.network import GlobalSystem, build_kinase_matrix, build_topology, default_params
+from phoskintime_tpu.network.expo import _phi_matrices, exponential_simulate
+from phoskintime_tpu.network.simulate import simulate
+
+GRID = np.array([0.0, 0.5, 0.75, 1.0, 2.0, 4.0, 8.0, 16.0, 30.0, 60.0,
+                 120.0, 240.0, 480.0, 960.0])
+
+
+class TestPhiMatrices:
+    def test_scalar_identities(self):
+        for lam, h in [(-2.0, 0.5), (-0.01, 10.0), (0.0, 1.0), (1.5, 0.3)]:
+            L = jnp.asarray([[[lam]]])
+            E, P1, P2 = _phi_matrices(L, jnp.asarray([h]))
+            z = lam * h
+            e = np.exp(z)
+            phi1 = (e - 1) / z if z != 0 else 1.0
+            phi2 = (e - 1 - z) / z ** 2 if z != 0 else 0.5
+            assert float(E[0, 0, 0]) == pytest.approx(e, rel=1e-9)
+            assert float(P1[0, 0, 0]) == pytest.approx(h * phi1, rel=1e-9)
+            assert float(P2[0, 0, 0]) == pytest.approx(h * h * phi2, rel=1e-9)
+
+    def test_matrix_identity_vs_quadrature(self):
+        rng = np.random.default_rng(0)
+        L = jnp.asarray(rng.normal(0, 1, (1, 3, 3)))
+        h = jnp.asarray([0.7])
+        E, P1, P2 = _phi_matrices(L, h)
+        # quadrature check of Phi1 = int_0^h e^{L s} ds
+        s = np.linspace(0, 0.7, 2001)
+        from scipy.linalg import expm as scipy_expm
+        vals = np.stack([scipy_expm(np.asarray(L[0]) * si) for si in s])
+        quad = np.trapezoid(vals, s, axis=0)
+        np.testing.assert_allclose(np.asarray(P1[0]), quad, rtol=1e-5)
+
+
+def make_system(model=0, seed=0):
+    inter = pd.DataFrame({
+        "protein": ["GA", "GA", "GB", "GC"],
+        "psite": ["S1", "S2", "S1", "S1"],
+        "kinase": ["K1", "K1", "K2", "K1"],
+    })
+    tf = pd.DataFrame({"tf": ["GA", "GC"], "target": ["GB", "GA"]})
+    topo = build_topology(inter, tf, model=model)
+    Kmat = build_kinase_matrix(topo.kinases, None, GRID)
+    Kmat *= 1.0 + 0.25 * np.sin(np.arange(len(GRID)))[None, :]
+    sys_ = GlobalSystem(topo, GRID, Kmat)
+    rng = np.random.default_rng(seed)
+    p = default_params(topo)
+    for k in ["c_k", "A_i", "B_i", "C_i", "D_i", "E_i"]:
+        p[k] = rng.uniform(0.1, 1.5, p[k].shape)
+    p["Dp_i"] = rng.uniform(0.2, 2.5, p["Dp_i"].shape) * topo.site_mask()
+    p["tf_scale"] = 2.2
+    return sys_, {k: jnp.asarray(v) for k, v in p.items()}
+
+
+class TestExponentialSimulate:
+    @pytest.mark.parametrize("model", [0, 1, 2])
+    def test_matches_rk45(self, model):
+        sys_, pj = make_system(model)
+        ref = simulate(sys_, pj, jnp.asarray(GRID), rtol=1e-10, atol=1e-12,
+                       max_steps=500_000)
+        assert bool(ref.success)
+        got = exponential_simulate(sys_, pj, GRID, substep=8.0)
+        assert bool(got.success)
+        np.testing.assert_allclose(np.asarray(got.ys), np.asarray(ref.ys),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_substep_convergence(self):
+        sys_, pj = make_system(0)
+        ref = simulate(sys_, pj, jnp.asarray(GRID), rtol=1e-11, atol=1e-13,
+                       max_steps=500_000)
+        errs = []
+        for sub in [8.0, 2.0, 0.5]:
+            got = exponential_simulate(sys_, pj, GRID, substep=sub)
+            errs.append(float(jnp.max(jnp.abs(got.ys - ref.ys))))
+        # second-order in the refined region: monotone, strong decay overall
+        assert errs[1] < errs[0] / 2
+        assert errs[2] < errs[1] / 2
+        assert errs[2] < 2e-5
+
+    def test_vmappable_population(self):
+        import jax
+
+        sys_, pj = make_system(0)
+
+        def run(scale):
+            p2 = dict(pj)
+            p2["A_i"] = pj["A_i"] * scale
+            return exponential_simulate(sys_, p2, GRID).ys
+
+        out = jax.vmap(run)(jnp.asarray([0.5, 1.0, 2.0]))
+        assert out.shape[0] == 3
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_model4_rejected(self):
+        sys_, pj = make_system(0)
+        sys_.topo.model = 4
+        with pytest.raises(ValueError):
+            exponential_simulate(sys_, pj, GRID)
+        sys_.topo.model = 0
