@@ -233,3 +233,148 @@ def normest(gene: str,
     return NormestResult(param_final, popt, pcov, sol, fit, error, best_score,
                          lambda_reg, weight_name, regularization_term, ci,
                          boot_params)
+
+
+def normest_batch(genes: list[str],
+                  pr_batch: np.ndarray,
+                  p_batch: np.ndarray,
+                  r_batch: np.ndarray,
+                  init_cond: np.ndarray,
+                  num_psites: int,
+                  time_points: np.ndarray,
+                  bounds: dict,
+                  model: str = "distmod",
+                  use_regularization: bool = True,
+                  ms_gauss_weights: list | None = None,
+                  use_custom_weights: bool = False,
+                  n_starts: int = 48,
+                  jitter_frac: float = 0.10,
+                  lambdas: np.ndarray | None = None,
+                  seed: int = 42,
+                  lm_iters: int = 80,
+                  alpha_ci: float = 0.95) -> dict[str, NormestResult]:
+    """Fit a whole cohort of same-shape genes as TWO LM batches.
+
+    All genes sharing ``num_psites`` stack into one program:
+    stage 1 runs (G x lambdas x weights) lanes, stage 2 (G x starts) lanes —
+    the reference's per-gene serial loop over process pools
+    (``bin/main.py:168-174`` + ``normest.py:140-148``) collapses into two
+    device dispatches for the entire cohort.
+
+    Args:
+      pr_batch (G, T), p_batch (G, n, T), r_batch (G, Tr): stacked data.
+      init_cond: shared steady-state y0 (depends only on num_psites/model).
+    Returns {gene: NormestResult}.
+    """
+    if lambdas is None:
+        lambdas = np.logspace(-2, 0, 10)
+    G = len(genes)
+    lb, ub = build_bounds(bounds, num_psites, model)
+    npar = n_params(model, num_psites)
+
+    rng0 = np.random.default_rng(seed)
+    base_p0 = rng0.uniform(lb, ub)
+
+    targets = np.concatenate([
+        np.asarray(r_batch, float).reshape(G, -1),
+        np.asarray(pr_batch, float).reshape(G, -1),
+        np.asarray(p_batch, float).reshape(G, -1)], axis=1)       # (G, m)
+    reg_len = npar if use_regularization else 0
+    targets_fit = (np.concatenate([targets, np.zeros((G, npar))], axis=1)
+                   if use_regularization else targets)
+
+    # per-gene weight libraries (host-side)
+    sigmas_all, weight_names = [], None
+    for g in range(G):
+        ew = early_emphasis(pr_batch[g], p_batch[g], time_points, num_psites)
+        msw = ms_gauss_weights[g] if ms_gauss_weights is not None else None
+        opts = get_weight_options(targets[g], time_points, num_psites,
+                                  use_regularization, reg_len, ew, msw,
+                                  use_custom_weights=use_custom_weights)
+        if weight_names is None:
+            weight_names = list(opts)
+        sigmas_all.append(np.stack([opts[k] for k in weight_names]))
+    sigmas_all = np.stack(sigmas_all)                             # (G, W, m)
+    W = len(weight_names)
+    L = len(lambdas)
+
+    t = jnp.asarray(time_points, float)
+    y0 = jnp.asarray(init_cond, float)
+    lb_j, ub_j = jnp.asarray(lb), jnp.asarray(ub)
+    is_log = model == "randmod"
+
+    def model_fit_vec(p):
+        pv = jnp.exp(p) if is_log else p
+        _, fit = solve_ode(pv, y0, num_psites, t, model=model)
+        return fit
+
+    def fit_one(p0, lam, sigma, tgt_fit, tgt):
+        def residual(p):
+            y_model = model_fit_vec(p)
+            if use_regularization:
+                y_model = jnp.concatenate([y_model, lam / npar * jnp.square(p)])
+            return (y_model - tgt_fit) / sigma
+
+        res = levenberg_marquardt(residual, p0, lb_j, ub_j, max_iters=lm_iters)
+        pv = jnp.exp(res.p) if is_log else res.p
+        score = score_fit(pv, tgt, model_fit_vec(res.p))
+        return res.p, res.pcov, score
+
+    fit_lanes = jax.jit(jax.vmap(fit_one))
+
+    # ---- stage 1: (G x L x W) lanes from the shared base start ------------
+    lam_l = jnp.asarray(np.tile(np.repeat(lambdas, W), G))
+    sig_l = jnp.asarray(sigmas_all[:, None].repeat(L, 1).reshape(G * L * W, -1))
+    tgtf_l = jnp.asarray(np.repeat(targets_fit, L * W, axis=0))
+    tgt_l = jnp.asarray(np.repeat(targets, L * W, axis=0))
+    p0_l = jnp.asarray(np.tile(np.clip(base_p0, lb, ub), (G * L * W, 1)))
+    _, _, scores1 = fit_lanes(p0_l, lam_l, sig_l, tgtf_l, tgt_l)
+    scores1 = np.asarray(scores1).reshape(G, L, W)
+    scores1 = np.where(np.isfinite(scores1), scores1, np.inf)
+    flat = scores1.reshape(G, L * W).argmin(axis=1)
+    lam_best = lambdas[flat // W]                                  # (G,)
+    w_best = flat % W
+
+    # ---- stage 2: (G x n_starts) multistart at each gene's winner ---------
+    p0_stack = []
+    for g, gene in enumerate(genes):
+        gene_hash = sum(ord(c) for c in str(gene)) % 1000003
+        rng = np.random.default_rng(int(seed + gene_hash))
+        p0_stack.append(_multistart_p0(base_p0, lb, ub, n_starts, jitter_frac,
+                                       rng))
+    S = p0_stack[0].shape[0]
+    p0_s = jnp.asarray(np.concatenate(p0_stack))                   # (G*S, npar)
+    lam_s = jnp.asarray(np.repeat(lam_best, S))
+    sig_s = jnp.asarray(np.repeat(sigmas_all[np.arange(G), w_best], S, axis=0))
+    tgtf_s = jnp.asarray(np.repeat(targets_fit, S, axis=0))
+    tgt_s = jnp.asarray(np.repeat(targets, S, axis=0))
+    popts, pcovs, scores2 = fit_lanes(p0_s, lam_s, sig_s, tgtf_s, tgt_s)
+    scores2 = np.asarray(scores2).reshape(G, S)
+    scores2 = np.where(np.isfinite(scores2), scores2, np.inf)
+    best = scores2.argmin(axis=1)
+
+    # ---- assemble per-gene results -----------------------------------------
+    out: dict[str, NormestResult] = {}
+    popts = np.asarray(popts).reshape(G, S, npar)
+    pcovs = np.asarray(pcovs).reshape(G, S, npar, npar)
+    for g, gene in enumerate(genes):
+        popt = popts[g, best[g]]
+        pcov = pcovs[g, best[g]]
+        param_final = np.exp(popt) if is_log else popt
+        sol, fit = solve_ode(jnp.asarray(param_final), y0, num_psites, t,
+                             model=model)
+        sol, fit = np.asarray(sol), np.asarray(fit)
+        error = float(np.sum(np.abs(fit - targets[g]) ** 2) / targets[g].size)
+        reg_term = float(lam_best[g]) / npar * float(np.sum(param_final ** 2))
+
+        mf = fit
+        if use_regularization:
+            mf = np.concatenate([fit, lam_best[g] / npar * popt ** 2])
+        ci = confidence_intervals(param_final, pcov, targets_fit[g], mf,
+                                  alpha_val=1 - alpha_ci,
+                                  use_custom_weights=use_custom_weights)
+        out[gene] = NormestResult(param_final, popt, pcov, sol, fit, error,
+                                  float(scores2[g, best[g]]),
+                                  float(lam_best[g]), weight_names[w_best[g]],
+                                  reg_term, ci, None)
+    return out

@@ -56,15 +56,19 @@ def process_gene(gene: str,
                  sensitivity_kw: dict | None = None,
                  normest_kw: dict | None = None,
                  make_plots: bool = True,
-                 ms_gauss_weights: np.ndarray | None = None) -> GeneOutput:
-    """Fit one gene end to end."""
+                 ms_gauss_weights: np.ndarray | None = None,
+                 precomputed: NormestResult | None = None) -> GeneOutput:
+    """Fit one gene end to end (or post-process a cohort-batched fit)."""
     init_cond = np.asarray(initial_condition(num_psites, model))
-    logger.info(f"[{gene}] steady-state init, fitting {model} with "
-                f"{num_psites} sites")
 
-    res = normest(gene, pr_data, p_data, r_data, init_cond, num_psites,
-                  time_points, bounds, bootstraps=bootstraps, model=model,
-                  ms_gauss_weights=ms_gauss_weights, **(normest_kw or {}))
+    if precomputed is not None:
+        res = precomputed
+    else:
+        logger.info(f"[{gene}] steady-state init, fitting {model} with "
+                    f"{num_psites} sites")
+        res = normest(gene, pr_data, p_data, r_data, init_cond, num_psites,
+                      time_points, bounds, bootstraps=bootstraps, model=model,
+                      ms_gauss_weights=ms_gauss_weights, **(normest_kw or {}))
     out = GeneOutput(gene, res)
     target = np.concatenate([np.asarray(r_data).ravel(),
                              np.asarray(pr_data).ravel(),
@@ -154,15 +158,24 @@ def extract_gene_data(df_prot: pd.DataFrame, df_pho: pd.DataFrame,
 def run_model_pipeline(df_prot, df_pho, df_rna, *, time_points,
                        rna_time_points, bounds, model="distmod",
                        out_dir="results", genes=None, dev_test=False,
-                       max_sites: int = 5, **gene_kw) -> dict[str, GeneOutput]:
-    """Cohort driver (reference bin/main.py): fit every common gene."""
+                       max_sites: int = 5, batch_genes: bool = True,
+                       **gene_kw) -> dict[str, GeneOutput]:
+    """Cohort driver (reference bin/main.py): fit every common gene.
+
+    With ``batch_genes`` (default), genes are grouped by site count and each
+    group fits as ONE batched LM program (:func:`normest_batch`); knockouts,
+    sensitivity and figures are then produced per gene. Bootstrapping forces
+    the per-gene path (it adds a per-gene batch axis of its own).
+    """
+    from phoskintime_tpu.fit.normest import normest_batch
+
     common = sorted(set(df_prot["protein"]) & set(df_pho["protein"]))
     if genes is not None:
         common = [g for g in common if g in set(genes)]
     if dev_test:
         common = common[:1]
 
-    outputs: dict[str, GeneOutput] = {}
+    gene_data = {}
     for gene in common:
         pr, p, r, sites = extract_gene_data(df_prot, df_pho, df_rna, gene,
                                             time_points, rna_time_points)
@@ -170,8 +183,32 @@ def run_model_pipeline(df_prot, df_pho, df_rna, *, time_points,
         if n == 0 or n > max_sites:
             logger.info(f"[{gene}] skipped ({n} sites)")
             continue
+        gene_data[gene] = (pr, p, r, n)
+
+    precomputed: dict[str, NormestResult] = {}
+    use_batch = batch_genes and not gene_kw.get("bootstraps")
+    if use_batch:
+        groups: dict[int, list[str]] = {}
+        for g, (_, _, _, n) in gene_data.items():
+            groups.setdefault(n, []).append(g)
+        nkw = dict(gene_kw.get("normest_kw") or {})
+        for n, members in sorted(groups.items()):
+            logger.info(f"[cohort] fitting {len(members)} genes with {n} "
+                        f"sites as one batch")
+            init_cond = np.asarray(initial_condition(n, model))
+            precomputed.update(normest_batch(
+                members,
+                np.stack([gene_data[g][0] for g in members]),
+                np.stack([gene_data[g][1] for g in members]),
+                np.stack([gene_data[g][2] for g in members]),
+                init_cond, n, time_points, bounds, model=model, **nkw))
+
+    outputs: dict[str, GeneOutput] = {}
+    for gene, (pr, p, r, n) in gene_data.items():
         outputs[gene] = process_gene(gene, pr, p, r, n, time_points, bounds,
-                                     model=model, out_dir=out_dir, **gene_kw)
+                                     model=model, out_dir=out_dir,
+                                     precomputed=precomputed.get(gene),
+                                     **gene_kw)
         logger.info(f"[{gene}] done: error={outputs[gene].result.error:.4g} "
                     f"score={outputs[gene].result.score:.4g}")
 

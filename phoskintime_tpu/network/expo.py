@@ -16,9 +16,9 @@ integrate each static segment with the exponential trapezoidal rule
     a    = E y_n + Phi1 g(y_n)
     y_+  = a + (Phi2 / h) (g(a) - g(y_n))
 
-where E = expm(L h), Phi1 = h*phi1(Lh), Phi2 = h^2*phi2(Lh) come from ONE
-Van Loan augmented expm of the (3w, 3w) block — all segments x proteins
-batched into a single small-matrix expm on the MXU.
+where E = expm(L h), Phi1 = h*phi1(Lh), Phi2 = h^2*phi2(Lh) are built for
+all (population x bucket x protein) blocks at once by lane-resident
+scaling + Taylor + exact doubling recurrences (see :func:`_phi_matrices`).
 
 The stiff linear decay is integrated **exactly**, so the sequential chain
 shrinks from ~1250 stability-bound RK45 steps to ~40-100 fixed segments
@@ -246,6 +246,7 @@ def exponential_simulate_batched(system, params_b, t_eval,
     if y0 is None:
         y0 = system.y0()
     dtype = system.rhs.W_pad.dtype
+    params_b = jax.tree.map(lambda v: jnp.asarray(v, dtype), params_b)
     y0b = jnp.broadcast_to(jnp.asarray(y0, dtype).reshape(-1)[None],
                            (P, N * w))
 
@@ -310,6 +311,7 @@ def exponential_simulate(system, params, t_eval, substep: float = 16.0,
     if y0 is None:
         y0 = system.y0()
     dtype = system.rhs.W_pad.dtype
+    params = jax.tree.map(lambda v: jnp.asarray(v, dtype), params)
     y0 = jnp.asarray(y0, dtype).reshape(-1)
     t_eval_j = jnp.asarray(t_eval, dtype)
 

@@ -23,7 +23,6 @@ from phoskintime_tpu.network.params import unpack_params
 from phoskintime_tpu.network.simulate import simulate_and_measure
 from phoskintime_tpu.ops.frechet import frechet_distance
 from phoskintime_tpu.ops.nsga import MOOResult, lhs_sampling, run_unsga3
-from phoskintime_tpu.ops.tpe import run_motpe
 
 
 def make_batched_evaluate(objective, mesh=None, pad_to: int | None = None):
@@ -67,7 +66,8 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                    frechet_pick=True, df_prot=None, df_rna=None, df_pho=None,
                    t_points=None, callback=None, logger=None,
                    ftol=0.0025, ftol_period=30,
-                   n_max_evals=100_000, solver="auto") -> GlobalFitResult:
+                   n_max_evals=100_000, solver="auto",
+                   checkpoint_path=None, checkpoint_every=10) -> GlobalFitResult:
     """End-to-end global fit (the runner.main optimization core).
 
     solver: "auto" uses the batched exponential (ETD2RK) fast path for
@@ -89,16 +89,49 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                                    y0=y0, solver=solver)
     evaluate = make_batched_evaluate(objective, mesh=mesh)
 
+    # pause/resume: checkpoint the GA population / TPE history
+    x0 = None
+    ck = None
+    if checkpoint_path is not None:
+        from phoskintime_tpu.parallel.checkpoint import GACheckpointer
+
+        ck = GACheckpointer(checkpoint_path, every=checkpoint_every)
+        x0 = ck.resume_x0()
+        if x0 is not None and logger is not None:
+            logger.info(f"[Fit] resuming from {checkpoint_path} "
+                        f"(gen {ck.start_gen})")
+
+    def cb(gen, X, F):
+        if ck is not None:
+            ck(gen, X, F)
+        if callback is not None:
+            callback(gen, X, F)
+
     if optimizer == "optuna":
-        pX, pF, sampler = run_motpe(evaluate, xl, xu, n_trials=n_trials,
-                                    seed=seed)
+        from phoskintime_tpu.parallel.checkpoint import load_sampler, save_sampler
+        from phoskintime_tpu.ops.tpe import MOTPESampler
+
+        sampler = MOTPESampler(xl, xu, seed=seed)
+        if checkpoint_path is not None:
+            load_sampler(checkpoint_path + ".tpe", sampler)
+
+        done = len(sampler.X)
+        while done < n_trials:
+            bsz = min(16, n_trials - done)
+            Xb = sampler.ask_batch(bsz)
+            Fb = evaluate(Xb)
+            sampler.tell_batch(Xb, Fb)
+            done += bsz
+            if checkpoint_path is not None and done % (16 * checkpoint_every) < 16:
+                save_sampler(checkpoint_path + ".tpe", sampler)
+        pX, pF = sampler.pareto
         X_all = np.asarray(sampler.X)
         F_all = np.asarray(sampler.F)
         res = MOOResult(X_all, F_all, pX, pF, [], 0, len(X_all))
     else:
         res = run_unsga3(evaluate, xl, xu, pop_size=pop, n_gen=n_gen,
-                         seed=seed, callback=callback, logger=logger,
-                         verbose=logger is not None,
+                         seed=seed, callback=cb, logger=logger,
+                         verbose=logger is not None, x0=x0,
                          ftol=ftol, ftol_period=ftol_period,
                          n_max_evals=n_max_evals)
 

@@ -124,3 +124,58 @@ class TestKnockout:
         row = masks[idx]
         assert row[0] == 0 and row[2] == 0 and row[4] == 0 and row[5] == 0
         assert row[1] == 1 and row[3] == 1  # degradation untouched
+
+
+class TestNormestBatch:
+    def test_matches_single_gene_path(self):
+        """Cohort-batched fit must reproduce the per-gene fit exactly
+        (same seeds, same stages)."""
+        from phoskintime_tpu.fit.normest import normest_batch
+
+        n = 2
+        genes, prs, ps, rs = [], [], [], []
+        for seed, name in [(5, "GENEA"), (11, "GENEX")]:
+            true, y0, pr, p, r = synth_gene("distmod", n, seed)
+            genes.append(name); prs.append(pr); ps.append(p); rs.append(r)
+        y0 = initial_condition(n, "distmod")
+
+        batch = normest_batch(genes, np.stack(prs), np.stack(ps), np.stack(rs),
+                              np.asarray(y0), n, TIME_POINTS, BOUNDS,
+                              model="distmod", use_regularization=True,
+                              n_starts=6, lm_iters=40)
+        assert set(batch) == set(genes)
+        single = normest("GENEA", prs[0], ps[0], rs[0], np.asarray(y0), n,
+                         TIME_POINTS, BOUNDS, model="distmod",
+                         use_regularization=True, n_starts=6, lm_iters=40)
+        np.testing.assert_allclose(batch["GENEA"].params, single.params,
+                                   rtol=1e-6)
+        assert batch["GENEA"].lambda_reg == single.lambda_reg
+        assert batch["GENEA"].weight_name == single.weight_name
+
+    def test_pipeline_batched_grouping(self, tmp_path):
+        """run_model_pipeline groups by site count and produces outputs."""
+        import pandas as pd
+        from phoskintime_tpu.fit.pipeline import run_model_pipeline
+
+        rows_p, rows_ph, rows_r = [], [], []
+        for seed, name, n in [(5, "GA", 2), (11, "GB", 2), (7, "GC", 1)]:
+            true, y0, pr, p, r = synth_gene("distmod", n, seed)
+            for t, v in zip(TIME_POINTS, pr):
+                rows_p.append((name, t, v))
+            for j in range(n):
+                for t, v in zip(TIME_POINTS, p[j]):
+                    rows_ph.append((name, f"S{j+1}", t, v))
+            for t, v in zip(TIME_POINTS[5:], r):
+                rows_r.append((name, t, v))
+        df_p = pd.DataFrame(rows_p, columns=["protein", "time", "fc"])
+        df_ph = pd.DataFrame(rows_ph, columns=["protein", "psite", "time", "fc"])
+        df_r = pd.DataFrame(rows_r, columns=["protein", "time", "fc"])
+        out = run_model_pipeline(df_p, df_ph, df_r, time_points=TIME_POINTS,
+                                 rna_time_points=TIME_POINTS[5:],
+                                 bounds=BOUNDS, model="distmod",
+                                 out_dir=None, make_plots=False,
+                                 run_knockouts=False,
+                                 normest_kw=dict(n_starts=4, lm_iters=30))
+        assert set(out) == {"GA", "GB", "GC"}
+        for g in out:
+            assert np.isfinite(out[g].result.error)
