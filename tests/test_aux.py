@@ -162,3 +162,47 @@ class TestMesh:
         assert pad_to_devices(10, mesh) == 16
         assert pad_to_devices(16, mesh) == 16
         assert pad_to_devices(5, None) == 5
+
+
+class TestNativeKernels:
+    def test_nd_sort_matches_numpy(self):
+        from phoskintime_tpu.native import nd_sort_ranks
+        from phoskintime_tpu.ops.nsga import fast_non_dominated_sort
+
+        rng = np.random.default_rng(0)
+        F = rng.normal(0, 1, (300, 3))
+        ranks = nd_sort_ranks(F)
+        if ranks is None:
+            pytest.skip("no C++ toolchain")
+        fronts = fast_non_dominated_sort(F)  # n<=512 -> numpy path
+        for r, fr in enumerate(fronts):
+            assert np.all(ranks[fr] == r)
+
+    def test_large_population_sort(self):
+        from phoskintime_tpu.ops.nsga import fast_non_dominated_sort
+
+        rng = np.random.default_rng(1)
+        F = rng.normal(0, 1, (2000, 3))
+        fronts = fast_non_dominated_sort(F)  # routes through native
+        seen = np.concatenate(fronts)
+        assert sorted(seen.tolist()) == list(range(2000))
+        # front 0 is mutually non-dominated
+        f0 = F[fronts[0]]
+        dom = ((f0[:, None] <= f0[None]).all(-1) &
+               (f0[:, None] < f0[None]).any(-1))
+        assert not dom.any()
+
+    def test_associate_native_matches(self):
+        from phoskintime_tpu.native import associate_native
+        from phoskintime_tpu.ops.nsga import associate_to_refs, das_dennis
+
+        rng = np.random.default_rng(2)
+        Fn = np.abs(rng.normal(0, 1, (200, 3)))
+        refs = das_dennis(3, 8)
+        unit = refs / np.linalg.norm(refs, axis=1)[:, None]
+        out = associate_native(Fn, unit)
+        if out is None:
+            pytest.skip("no C++ toolchain")
+        niche_ref, dist_ref = associate_to_refs(Fn, refs)
+        np.testing.assert_array_equal(out[0], niche_ref)
+        np.testing.assert_allclose(out[1], dist_ref, rtol=1e-10)
