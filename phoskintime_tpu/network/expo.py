@@ -261,12 +261,24 @@ def exponential_simulate_batched(system, params_b, t_eval,
 
     U = len(u_jb)
     u_L = L_bucket[:, jnp.asarray(bucket_inv)]           # (P, U, N, w, w)
-    h_rep = jnp.broadcast_to(jnp.asarray(u_h, dtype)[None, :, None],
-                             (P, U, N)).reshape(-1)
-    E_f, P1_f, P2_f = _phi_matrices(u_L.reshape(P * U * N, w, w), h_rep)
-    E_u = E_f.reshape(P, U, N, w, w)
-    Phi1_u = P1_f.reshape(P, U, N, w, w)
-    Phi2_u = P2_f.reshape(P, U, N, w, w)
+    u_h_j = jnp.asarray(u_h, dtype)
+
+    # one lane-parallel phi build per unique (bucket, h) pair, sequential
+    # over the ~14 pairs: the flat (P*U*N) batch OOMs at the 10k-candidate
+    # ensemble (each (w, w, P*U*N) temp is ~GBs), while per-pair batches
+    # of (w, w, P*N) stay ~tens of MB.
+    def phis_one(args):
+        L_p, h_p = args                                  # (P, N, w, w), ()
+        Ef, P1f, P2f = _phi_matrices(
+            L_p.reshape(P * N, w, w), jnp.broadcast_to(h_p, (P * N,)))
+        return (Ef.reshape(P, N, w, w), P1f.reshape(P, N, w, w),
+                P2f.reshape(P, N, w, w))
+
+    E_t, P1_t, P2_t = jax.lax.map(phis_one,
+                                  (jnp.moveaxis(u_L, 1, 0), u_h_j))
+    E_u = jnp.moveaxis(E_t, 0, 1)                        # (P, U, N, w, w)
+    Phi1_u = jnp.moveaxis(P1_t, 0, 1)
+    Phi2_u = jnp.moveaxis(P2_t, 0, 1)
 
     t0s = jnp.asarray(seg_t0, dtype)
     hs = jnp.asarray(seg_h, dtype)
