@@ -206,3 +206,62 @@ class TestNativeKernels:
         niche_ref, dist_ref = associate_to_refs(Fn, refs)
         np.testing.assert_array_equal(out[0], niche_ref)
         np.testing.assert_allclose(out[1], dist_ref, rtol=1e-10)
+
+
+class TestIndicators:
+    def test_hypervolume_known(self):
+        from phoskintime_tpu.ops.indicators import hypervolume
+
+        # single point (1,1) vs ref (2,2): HV = 1
+        assert hypervolume(np.array([[1.0, 1.0]]), np.array([2.0, 2.0])) == \
+            pytest.approx(1.0)
+        # two staircase points
+        F = np.array([[1.0, 2.0], [2.0, 1.0]])
+        # HV vs (3,3): union of 2x1 and 1x2 boxes = 2+2-1 = 3
+        assert hypervolume(F, np.array([3.0, 3.0])) == pytest.approx(3.0)
+        # 3-objective cube
+        assert hypervolume(np.array([[0.0, 0.0, 0.0]]),
+                           np.array([1.0, 1.0, 1.0])) == pytest.approx(1.0)
+        # dominated point contributes nothing
+        F3 = np.array([[1.0, 1.0], [1.5, 1.5]])
+        assert hypervolume(F3, np.array([2.0, 2.0])) == pytest.approx(1.0)
+
+    def test_igd_plus(self):
+        from phoskintime_tpu.ops.indicators import igd_plus
+
+        Z = np.array([[0.0, 1.0], [1.0, 0.0]])
+        assert igd_plus(Z, Z) == pytest.approx(0.0)
+        F = Z + 0.1
+        assert igd_plus(F, Z) == pytest.approx(np.sqrt(2 * 0.01), rel=1e-9)
+
+    def test_asf_and_pseudo_weights(self):
+        from phoskintime_tpu.ops.indicators import (asf_pick, pseudo_weights,
+                                                    pseudo_weight_pick)
+
+        F = np.array([[0.0, 1.0], [0.5, 0.5], [1.0, 0.0]])
+        # equal weights -> the balanced middle point
+        assert asf_pick(F, np.array([1.0, 1.0])) == 1
+        pw = pseudo_weights(F)
+        np.testing.assert_allclose(pw.sum(axis=1), 1.0)
+        assert pseudo_weight_pick(F, np.array([0.5, 0.5])) == 1
+
+    def test_postfit_summary(self):
+        from phoskintime_tpu.analysis.postfit import (goodness_of_fit,
+                                                      optimization_performance,
+                                                      residual_summary)
+        from phoskintime_tpu.ops.nsga import MOOResult
+
+        obs = np.array([[1.0, 2.0, 3.0], [2.0, 2.0, 2.0]])
+        gof = goodness_of_fit(obs, obs + 0.01, labels=["a", "b"])
+        assert gof["rmse"].iloc[0] == pytest.approx(0.01)
+
+        res = MOOResult(np.zeros((3, 2)), np.zeros((3, 3)),
+                        np.zeros((3, 2)),
+                        np.array([[0.1, 0.9, 0.5], [0.9, 0.1, 0.5],
+                                  [0.5, 0.5, 0.5]]),
+                        [(1, np.array([0.5, 0.5, 0.5]), None)], 1, 10)
+        perf = optimization_performance(res)
+        assert perf["hypervolume"] > 0
+        assert 0 <= perf["asf_pick"] < 3
+        rs = residual_summary(np.array([0.1, -0.1, 0.05]))
+        assert np.isfinite(rs["std"])
