@@ -48,8 +48,11 @@ logger = setup_logger()
 
 
 def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
-         weighting=("uniform", "uniform", "uniform")) -> dict:
+         weighting=None) -> dict:
     """Run the full global fit from a config; returns the result bundle."""
+    if weighting is None:
+        weighting = (cfg.weighting_method_protein, cfg.weighting_method_rna,
+                     cfg.weighting_method_phospho)
     root = cfg._root
     out_dir = str(out_dir or os.path.join(root, cfg.output_dir))
     os.makedirs(out_dir, exist_ok=True)
@@ -79,9 +82,10 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
 
     # ---- 3. kinase input + weights ---------------------------------------
     Kmat = build_kinase_matrix(topo.kinases, df_prot, tp_p)
-    w_pp, w_rna = build_weight_functions(tp_p, tp_r, weighting[0], weighting[1])
-    df_prot = df_prot.assign(w=w_pp(df_prot["time"].to_numpy()))
-    df_pho = df_pho.assign(w=w_pp(df_pho["time"].to_numpy()))
+    w_prot, w_rna = build_weight_functions(tp_p, tp_r, weighting[0], weighting[1])
+    w_pho, _ = build_weight_functions(tp_p, tp_r, weighting[2], weighting[1])
+    df_prot = df_prot.assign(w=w_prot(df_prot["time"].to_numpy()))
+    df_pho = df_pho.assign(w=w_pho(df_pho["time"].to_numpy()))
     df_rna = df_rna.assign(w=w_rna(df_rna["time"].to_numpy()))
 
     # ---- 4. system + y0 ----------------------------------------------------
