@@ -20,7 +20,6 @@ import numpy as np
 
 from phoskintime_tpu.network.objective import evaluate_population, make_objective
 from phoskintime_tpu.network.params import unpack_params
-from phoskintime_tpu.network.simulate import simulate_and_measure
 from phoskintime_tpu.ops.frechet import frechet_distance
 from phoskintime_tpu.ops.nsga import MOOResult, lhs_sampling, run_unsga3
 
@@ -201,36 +200,91 @@ def create_multistart_population(X_best, pop_size, new_xl, new_xu, rng):
 def pick_solution_frechet(system, slices, pareto_X, df_prot, df_rna, df_pho,
                           t_points, lambdas):
     """Pick the Pareto member minimizing the weighted sum of per-curve
-    discrete Frechet distances across modalities."""
-    tp_p, tp_r, tp_ph = t_points
-    scores = np.zeros(len(pareto_X))
-    fdist = jax.jit(frechet_distance)
+    discrete Frechet distances across modalities.
 
-    def curves(df, dfp, key_cols, valcol, predcol):
-        out = []
+    Fully batched: ONE exponential (or RK45) simulation of all Pareto
+    members, FC extraction as arrays, and a vmapped (solutions x curves)
+    Frechet DP per modality — the reference loops pymoo solutions through
+    pandas + per-curve Numba DP (runner.py:775-858)."""
+    from phoskintime_tpu.network.simulate import extract_observables, fold_changes
+
+    topo = system.topo
+    tp_p, tp_r, tp_ph = (np.asarray(t, float) for t in t_points)
+    P = len(pareto_X)
+    times = np.unique(np.concatenate([tp_p, tp_r, tp_ph]))
+
+    # --- batched simulation of every Pareto member -----------------------
+    params_b = jax.vmap(
+        lambda th: unpack_params(th, slices, topo)
+    )(jnp.asarray(np.asarray(pareto_X, float),
+                  system.rhs.W_pad.dtype))
+    if topo.model in (0, 1, 2):
+        from phoskintime_tpu.network.expo import exponential_simulate_batched
+
+        ys, _ = exponential_simulate_batched(system, params_b,
+                                             jnp.asarray(times))
+    else:
+        from phoskintime_tpu.network.simulate import simulate
+
+        ys = jax.vmap(lambda th: simulate(
+            system, unpack_params(th, slices, topo), jnp.asarray(times)).ys
+        )(jnp.asarray(np.asarray(pareto_X, float)))
+
+    def fc_all(Y_flat):
+        obs = extract_observables(system, Y_flat)
+        return fold_changes(obs, jnp.asarray(times))
+
+    fc_r, fc_p, fc_ph = jax.vmap(fc_all)(ys)     # (P,T,N), (P,T,N), (P,T,N,S)
+    fc_r, fc_p, fc_ph = np.asarray(fc_r), np.asarray(fc_p), np.asarray(fc_ph)
+
+    t_idx = {float(t): i for i, t in enumerate(times)}
+
+    def modality_score(df, grid, pred_cube, site_axis=False):
+        """Sum of per-curve Frechet over all P solutions: (P,) array."""
         if df is None or len(df) == 0:
-            return out
-        for key, obs_g in df.groupby(key_cols):
-            sel = dfp
-            for c, v in zip(key_cols if isinstance(key, tuple) else [key_cols[0]],
-                            key if isinstance(key, tuple) else [key]):
-                sel = sel[sel[c] == v]
-            obs = obs_g.sort_values("time")[["time", valcol]].to_numpy(float)
-            pred = sel.sort_values("time")[["time", predcol]].to_numpy(float)
-            if len(obs) > 1 and len(pred) > 1:
-                out.append((obs, pred))
-        return out
+            return np.zeros(P)
+        total = np.zeros(P)
+        keys = ["protein", "psite"] if site_axis else ["protein"]
+        obs_list, pred_list = [], []
+        for key, g in df.groupby(keys):
+            key = key if isinstance(key, tuple) else (key,)
+            g = g.sort_values("time")
+            obs = g[["time", "fc"]].to_numpy(float)
+            if len(obs) < 2:
+                continue
+            i = topo.p2i.get(key[0])
+            if i is None:
+                continue
+            tsel = np.asarray([t_idx[float(tt)] for tt in g["time"]])
+            if site_axis:
+                if key[1] not in topo.sites[i]:
+                    continue
+                s = topo.sites[i].index(key[1])
+                pred_vals = pred_cube[:, tsel, i, s]          # (P, Tc)
+            else:
+                pred_vals = pred_cube[:, tsel, i]
+            obs_list.append(obs)
+            pred_list.append(np.stack(
+                [np.broadcast_to(obs[:, 0][None], pred_vals.shape),
+                 pred_vals], axis=-1))                         # (P, Tc, 2)
+        if not obs_list:
+            return total
+        # group curves by length so each group batches as one vmap call
+        by_len: dict[int, list[int]] = {}
+        for ci, o in enumerate(obs_list):
+            by_len.setdefault(len(o), []).append(ci)
+        for Tc, idxs in by_len.items():
+            obs_arr = jnp.asarray(np.stack([obs_list[ci] for ci in idxs]))
+            pred_arr = jnp.asarray(np.stack([pred_list[ci] for ci in idxs],
+                                            axis=1))
+            # pred_arr: (P, C, Tc, 2); obs_arr: (C, Tc, 2)
+            d = np.asarray(jax.vmap(
+                lambda pr: jax.vmap(frechet_distance)(obs_arr, pr))(pred_arr))
+            total += d.sum(axis=1)
+        return total
 
-    for i, theta in enumerate(np.asarray(pareto_X, float)):
-        p = unpack_params(jnp.asarray(theta), slices, system.topo)
-        dfp, dfr, dfph = simulate_and_measure(system, p, tp_p, tp_r, tp_ph)
-        total = 0.0
-        for df, dfx, keys, lam in [
-                (df_prot, dfp, ["protein"], lambdas["protein"]),
-                (df_rna, dfr, ["protein"], lambdas["rna"]),
-                (df_pho, dfph, ["psite"], lambdas["phospho"])]:
-            for obs, pred in curves(df, dfx, keys, "fc", "pred_fc"):
-                total += lam * float(fdist(jnp.asarray(obs), jnp.asarray(pred)))
-        scores[i] = total
-
+    scores = (lambdas["protein"] * modality_score(df_prot, tp_p, fc_p)
+              + lambdas["rna"] * modality_score(df_rna, tp_r, fc_r)
+              + lambdas["phospho"] * modality_score(df_pho, tp_ph, fc_ph,
+                                                    site_axis=True))
     return int(np.argmin(scores)), scores
