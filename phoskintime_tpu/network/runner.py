@@ -189,6 +189,22 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
     plot_convergence(res.history, os.path.join(out_dir, "convergence.png"))
     plot_parallel_coords_pareto(res.pareto_F,
                                 os.path.join(out_dir, "pareto_parallel.png"))
+
+    # reloadable dashboard bundle (reference runner.py:1061-1077)
+    from phoskintime_tpu.report.dashboard import save_dashboard_bundle
+
+    save_dashboard_bundle(
+        os.path.join(out_dir, "dashboard_bundle.pkl"),
+        pareto_X=res.pareto_X, pareto_F=res.pareto_F, best_idx=res.best_idx,
+        df_prot=df_prot, df_rna=df_rna, df_pho=df_pho,
+        pred_prot=dfp_fit, pred_rna=dfr_fit, pred_pho=dfph_fit,
+        params={k: np.asarray(v) for k, v in params_best.items()},
+        topo_summary={"N": topo.N, "K": topo.K,
+                      "total_sites": topo.total_sites,
+                      "orphans_rewired": len(topo.proxy_map),
+                      "model": topo.model},
+        history=res.history)
+
     create_report(out_dir, title="phoskintime-tpu global model")
 
     return dict(result=res, system=system, topo=topo, slices=slices,
