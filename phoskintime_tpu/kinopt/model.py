@@ -122,7 +122,13 @@ def _corr_sq_lag1(res):
 
 def kinopt_loss(prob: KinoptProblem, alpha_pad, beta_pad,
                 loss_type: str = "base", include_reg: bool = False):
-    """Scalar loss (reference _loss_from_residuals, :209-317)."""
+    """Scalar loss.
+
+    evol losses (reference kinopt/evol/objfn/minfndiffevo.py:209-317):
+    base / autocorrelation / huber / mape; local losses
+    (kinopt/local/objfn/minfn.py:75-99): weighted (inverse-variance time
+    weights), softl1, cauchy, arctan.
+    """
     P = jnp.asarray(prob.P_obs)
     pred = predict(prob, alpha_pad, beta_pad)
     res = P - pred
@@ -137,6 +143,17 @@ def kinopt_loss(prob: KinoptProblem, alpha_pad, beta_pad,
         val = h.sum() / n_scalar
     elif loss_type == "mape":
         val = (jnp.abs(res / (P + 1e-12))).sum() / n_scalar * 100.0
+    elif loss_type == "weighted":
+        # inverse per-timepoint variance (reference construct.py:236-256)
+        var_t = jnp.var(P, axis=0)
+        tw = 1.0 / (var_t + 1e-8)
+        val = (tw[None, :] * res * res).sum() / (tw.sum() * P.shape[0])
+    elif loss_type == "softl1":
+        val = (2.0 * (jnp.sqrt(1.0 + 0.5 * res * res) - 1.0)).sum() / P.shape[0]
+    elif loss_type == "cauchy":
+        val = jnp.log1p(0.5 * res * res).sum() / P.shape[0]
+    elif loss_type == "arctan":
+        val = jnp.arctan(res * res).sum() / P.shape[0]
     else:  # base MSE
         val = (res * res).sum() / n_scalar
 

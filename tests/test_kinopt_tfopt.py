@@ -150,3 +150,18 @@ class TestTfopt:
         av = np.abs((res.alpha * prob.alpha_mask).sum(axis=1) - 1.0)
         has_reg = prob.alpha_mask.sum(axis=1) > 0
         assert av[has_reg].max() < 0.2  # evol path approaches feasibility
+
+
+class TestKinoptLossVariants:
+    @pytest.mark.parametrize("loss_type", ["base", "weighted", "softl1",
+                                           "cauchy", "arctan", "huber",
+                                           "mape", "autocorrelation"])
+    def test_all_losses_finite_and_zero_at_truth(self, loss_type):
+        prob, a_true, b_true = kin_problem()
+        at, bt = jnp.asarray(a_true), jnp.asarray(b_true)
+        v0 = float(kinopt_loss(prob, at, bt, loss_type))
+        assert np.isfinite(v0)
+        if loss_type != "autocorrelation":
+            assert v0 == pytest.approx(0.0, abs=1e-12)
+            v1 = float(kinopt_loss(prob, at + 0.1, bt, loss_type))
+            assert v1 > v0
