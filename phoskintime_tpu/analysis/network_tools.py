@@ -119,3 +119,37 @@ def temporal_sensitivity_heatmap(S_t: np.ndarray, param_names, times,
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def analyze_tf_kin_counts(df_kin: pd.DataFrame,
+                          df_tf: pd.DataFrame) -> pd.DataFrame:
+    """Per-gene regulator counts: #kinases targeting its sites, #TFs
+    regulating its mRNA (spec: reference scripts/analyze_tf_kin_counts.py)."""
+    kin_counts = (df_kin.groupby("protein")["kinase"].nunique()
+                  .rename("n_kinases"))
+    site_counts = (df_kin.groupby("protein")["psite"].nunique()
+                   .rename("n_sites"))
+    tf_counts = (df_tf.groupby("target")["tf"].nunique()
+                 .rename("n_tfs"))
+    out = pd.concat([kin_counts, site_counts, tf_counts], axis=1).fillna(0)
+    out.index.name = "gene"
+    return out.astype(int).reset_index()
+
+
+def map_priors(kin_alpha_df: pd.DataFrame,
+               tf_alpha_df: pd.DataFrame) -> pd.DataFrame:
+    """Merged per-gene regulator table from the two prior workbooks
+    (spec: reference processing/map.py:15-252)."""
+    kin = (kin_alpha_df.groupby("Gene")
+           .apply(lambda g: ";".join(f"{r.Kinase}:{r.Alpha:.3g}"
+                                     for r in g.itertuples()),
+                  include_groups=False)
+           .rename("kinases"))
+    tf = (tf_alpha_df.groupby("mRNA")
+          .apply(lambda g: ";".join(f"{r.TF}:{r.Value:.3g}"
+                                    for r in g.itertuples()),
+                 include_groups=False)
+          .rename("tfs"))
+    out = pd.concat([kin, tf], axis=1)
+    out.index.name = "gene"
+    return out.reset_index()

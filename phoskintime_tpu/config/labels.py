@@ -58,3 +58,20 @@ def get_param_names(model: str, num_psites: int) -> list[str]:
 
 def generate_labels(model: str, num_psites: int) -> list[str]:
     return generate_labels_rand(num_psites) if model == "randmod" else generate_labels_ds(num_psites)
+
+
+def future_times(n_new: int, ratio: float | None = None,
+                 tp=None) -> "np.ndarray":
+    """Extend a time grid by n_new points with geometrically growing gaps
+    (spec: reference config/config.py:228-246)."""
+    import numpy as np
+
+    if tp is None:
+        tp = np.asarray([0.0, 0.5, 0.75, 1.0, 2.0, 4.0, 8.0, 16.0, 30.0,
+                         60.0, 120.0, 240.0, 480.0, 960.0])
+    times = list(np.asarray(tp, float))
+    if ratio is None:
+        ratio = times[-1] / times[-2]
+    for _ in range(n_new):
+        times.append(times[-1] * ratio)
+    return np.asarray(times)

@@ -154,3 +154,18 @@ def build_kinopt_problem(full: pd.DataFrame, inter: pd.DataFrame, *,
     meta = {"K_index": {k: K_index[k] for k in kinases},
             "time_cols": cols}
     return prob, meta
+
+
+def check_kinases(full: "pd.DataFrame", inter: "pd.DataFrame") -> dict:
+    """Report kinases referenced in input2 but missing from input1
+    (spec: reference kinopt/evol/optcon/construct.py:331+)."""
+    known = set(full["GeneID"].astype(str))
+    referenced = set()
+    for cell in inter["Kinase"].astype(str):
+        for k in cell.strip("{}").split(","):
+            k = k.strip()
+            if k:
+                referenced.add(k)
+    missing = sorted(referenced - known)
+    return {"referenced": sorted(referenced), "missing": missing,
+            "n_missing": len(missing)}
