@@ -247,6 +247,7 @@ class Plotter:
         vals = [errors[k] for k in names]
         fig, ax = plt.subplots(figsize=(max(5, 0.5 * len(names)), 4))
         ax.bar(names, vals, color=COLORS[2])
+        ax.set_xticks(range(len(names)))
         ax.set_xticklabels(names, rotation=60, ha="right", fontsize=7)
         ax.set_title(f"{self.gene}: error summary")
         return self._save(fig, "errors")
