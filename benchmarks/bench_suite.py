@@ -1,0 +1,154 @@
+"""Extended benchmark suite — the five BASELINE.md benchmark configs.
+
+Each section prints one JSON line. ``bench.py`` at the repo root remains
+the driver's single headline metric; this suite is the full evidence set:
+
+1. distributive single-protein fit (normest)
+2. successive + random mechanisms with steady-state init (batched solves)
+3. global_model joint network fit (population objective throughput + a
+   short UNSGA3 fit wall-clock)
+4. Morris sensitivity batched over the full parameter space
+5. kinopt/tfopt evolutionary optimization + knockout perturbation scan
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def section(name, value, unit, extra=None):
+    out = {"bench": name, "value": round(float(value), 3), "unit": unit}
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.fit.normest import normest, normest_batch
+    from phoskintime_tpu.models.kinetics import (initial_condition,
+                                                 solve_ode, solve_ode_batched)
+
+    T = np.array([0.0, 0.5, 0.75, 1.0, 2.0, 4.0, 8.0, 16.0, 30.0, 60.0,
+                  120.0, 240.0, 480.0, 960.0], np.float32)
+    B = {k: (0.0, 20.0) for k in ["A", "B", "C", "D", "S(i)", "D(i)"]}
+    rng = np.random.default_rng(0)
+
+    # ---- 1. distributive single-protein fit ------------------------------
+    n = 2
+    y0 = initial_condition(n, "distmod", dtype=jnp.float32)
+    true = rng.uniform(0.3, 2.5, 4 + 2 * n).astype(np.float32)
+    _, fit = solve_ode(jnp.asarray(true), y0, n, jnp.asarray(T), "distmod")
+    fit = np.asarray(fit)
+    Tn = len(T)
+    r, pr, p = fit[:Tn - 5], fit[Tn - 5:2 * Tn - 5], fit[2 * Tn - 5:].reshape(n, Tn)
+    t0 = time.perf_counter()
+    res = normest("BENCH", pr, p, r, np.asarray(y0), n, T, B,
+                  model="distmod", use_regularization=True, n_starts=48,
+                  lm_iters=100)
+    section("1_distributive_single_gene_fit", time.perf_counter() - t0,
+            "s (10 lambdas + 48-start multistart + CIs)",
+            {"fit_error": float(res.error)})
+
+    # ---- 2. succ/rand mechanisms: batched exact solves --------------------
+    for model, n_s in [("succmod", 3), ("randmod", 3)]:
+        npar = 4 + 2 * n_s if model == "succmod" else 4 + n_s + (1 << n_s) - 1
+        y0m = initial_condition(n_s, model, dtype=jnp.float32)
+        batch = jnp.asarray(rng.uniform(0.3, 2.5, (8192, npar)), jnp.float32)
+        f = jax.jit(lambda b: solve_ode_batched(b, y0m, n_s,
+                                                jnp.asarray(T), model)[0])
+        sols = f(batch)
+        jax.block_until_ready(sols)
+        t0 = time.perf_counter()
+        sols = f(batch)
+        jax.block_until_ready(sols)
+        dt = time.perf_counter() - t0
+        section(f"2_{model}_exact_solves", 8192 / dt,
+                "ODE solves/s (batched expm, steady-state init)")
+
+    # ---- 3. global model ---------------------------------------------------
+    from phoskintime_tpu.demo import build_demo_network
+    from phoskintime_tpu.network.objective import make_population_objective
+    from phoskintime_tpu.network.optimize import run_global_fit
+
+    b = build_demo_network(n_proteins=40, n_kinases=12, seed=0,
+                           dtype=np.float32)
+    objp = make_population_objective(b["system"], b["slices"], b["loss_data"],
+                                     b["defaults"], b["lambdas"], b["grid"])
+    P = 256
+    thetas = jnp.asarray(b["theta0"][None]
+                         + 0.05 * rng.normal(size=(P, len(b["theta0"]))),
+                         jnp.float32)
+    f = jax.jit(objp)
+    F = f(thetas)
+    jax.block_until_ready(F)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        F = f(thetas)
+    jax.block_until_ready(F)
+    section("3_global_objective_throughput", 5 * P / (time.perf_counter() - t0),
+            "full-network stiff solves/s (pop=256, N=40)")
+
+    t0 = time.perf_counter()
+    res3 = run_global_fit(b["system"], b["slices"], b["loss_data"],
+                          b["defaults"], b["lambdas"], b["grid"],
+                          b["xl"], b["xu"], pop=128, n_gen=20, seed=0,
+                          ftol=0.0, frechet_pick=False)
+    section("3_global_fit_20gen_pop128", time.perf_counter() - t0,
+            "s wall-clock", {"n_evals": int(res3.n_evals),
+                             "ideal": [round(float(v), 5)
+                                       for v in res3.pareto_F.min(axis=0)]})
+
+    # ---- 4. Morris over the full fitted parameter space --------------------
+    from phoskintime_tpu.fit.sensitivity import sensitivity_analysis
+
+    t0 = time.perf_counter()
+    out = sensitivity_analysis(res.params, np.asarray(y0), n, T,
+                               np.concatenate([r, pr, p.ravel()]),
+                               model="distmod", num_trajectories=1000,
+                               num_levels=400)
+    dt = time.perf_counter() - t0
+    n_samples = len(out.Y)
+    section("4_morris_per_gene_reference_budget", n_samples / dt,
+            "ODE solves/s (1000 trajectories x 400 levels)",
+            {"n_samples": n_samples, "wall_s": round(dt, 2)})
+
+    # ---- 5. kinopt evolutionary + knockout scan ---------------------------
+    from phoskintime_tpu.kinopt.model import build_problem
+    from phoskintime_tpu.kinopt.optimize import run_evolutionary
+    from phoskintime_tpu.models.kinetics import solve_ode_batched as sob
+    from phoskintime_tpu.models.knockout import knockout_mask_matrix
+
+    K_array = rng.uniform(0.5, 2.0, (20, 14))
+    kinase_rows = [list(range(4 * j, 4 * j + 4)) for j in range(5)]
+    site_kinases = [[j % 5, (j + 1) % 5] for j in range(30)]
+    beta = rng.dirichlet(np.ones(4), 5)
+    sig = np.stack([beta[j] @ K_array[kinase_rows[j]] for j in range(5)])
+    P_obs = np.stack([0.5 * sig[s[0]] + 0.5 * sig[s[1]] for s in site_kinases])
+    prob = build_problem(P_obs, site_kinases, kinase_rows, K_array)
+    t0 = time.perf_counter()
+    kres = run_evolutionary(prob, method="DE", pop_size=100, n_gen=200, seed=0)
+    dt = time.perf_counter() - t0
+    section("5_kinopt_DE_200gen", dt, "s wall-clock",
+            {"loss": round(float(kres.loss), 6), "feasible": bool(kres.feasible)})
+
+    masks, combos = knockout_mask_matrix(n, 4 + 2 * n)
+    ko_params = jnp.asarray(res.params[None] * masks, jnp.float32)
+    fko = jax.jit(lambda kp: sob(kp, y0, n, jnp.asarray(T), "distmod")[0])
+    s = fko(ko_params)
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    s = fko(ko_params)
+    jax.block_until_ready(s)
+    section("5_knockout_scan", (time.perf_counter() - t0) * 1e3,
+            "ms for full combination scan", {"n_combos": len(combos)})
+
+
+if __name__ == "__main__":
+    main()

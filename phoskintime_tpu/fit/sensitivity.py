@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,14 +61,21 @@ def sensitivity_analysis(popt: np.ndarray,
     t = jnp.asarray(time_points, float)
     y0 = jnp.asarray(init_cond, float)
 
+    # fixed-size padded chunks: one compile for the whole sweep
+    solve_chunk = jax.jit(lambda xb: solve_ode_batched(xb, y0, num_psites,
+                                                       t, model))
+    n_total = len(X)
     sols_list, fits_list = [], []
-    for i in range(0, len(X), batch_size):
-        sols, fits = solve_ode_batched(jnp.asarray(X[i:i + batch_size]),
-                                       y0, num_psites, t, model)
-        sols_list.append(np.asarray(sols))
-        fits_list.append(np.asarray(fits))
-    sols = np.concatenate(sols_list)
-    fits = np.concatenate(fits_list)
+    for i in range(0, n_total, batch_size):
+        chunk = X[i:i + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.vstack([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+        sols, fits = solve_chunk(jnp.asarray(chunk))
+        sols_list.append(np.asarray(sols)[: batch_size - pad or None])
+        fits_list.append(np.asarray(fits)[: batch_size - pad or None])
+    sols = np.concatenate(sols_list)[:n_total]
+    fits = np.concatenate(fits_list)[:n_total]
 
     # scalar metric per sample (vectorized trajectory_metric)
     if y_metric == "total_signal":

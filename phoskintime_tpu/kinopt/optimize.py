@@ -27,7 +27,7 @@ from phoskintime_tpu.kinopt.model import (
     violation_sq,
 )
 from phoskintime_tpu.ops.constrained import project_sum_box, projected_adam
-from phoskintime_tpu.ops.nsga import run_de, run_nsga2
+from phoskintime_tpu.ops.nsga import run_nsga2
 
 
 class KinoptResult(NamedTuple):
@@ -144,13 +144,38 @@ def run_evolutionary(prob: KinoptProblem, method: str = "NSGA-II",
     repair = lambda X: np.asarray(repair_j(jnp.asarray(X)))
 
     if method.upper() == "DE":
-        res = run_de(lambda X: np.asarray(eval_single(jnp.asarray(X))),
-                     xl, xu, pop_size=pop_size, n_gen=n_gen, seed=seed,
-                     repair_fn=repair)
-        x_best = res.pareto_X[0]
+        # entire DE run on device (reference budget is 10k generations)
+        from phoskintime_tpu.ops.de_jit import run_de_device
+
+        def eval_single_j(X):
+            A, B = to_padded(X)
+            return jax.vmap(lambda a, b: kinopt_loss(prob, a, b, loss_type,
+                                                     include_reg))(A, B)
+
+        def repair_j_pure(X):
+            A, B = to_padded(X)
+            A = jax.vmap(lambda a: project_sum_box(a, prob.lb, prob.ub, gmask))(A)
+            B = jax.vmap(lambda b: project_sum_box(b, prob.lb, prob.ub, kmask))(B)
+            return jnp.concatenate([A[:, amask_flat[0], amask_flat[1]],
+                                    B[:, bmask_flat[0], bmask_flat[1]]], axis=1)
+
+        run = jax.jit(lambda: run_de_device(
+            eval_single_j, xl, xu, pop_size=pop_size, n_gen=n_gen, seed=seed,
+            repair_fn=repair_j_pure))
+        dres = run()
+        x_best = np.asarray(dres.x_best)
+        hist = np.asarray(dres.history)
+        from phoskintime_tpu.ops.nsga import MOOResult
+
+        res = MOOResult(np.asarray(dres.X), np.asarray(dres.f)[:, None],
+                        x_best[None], np.asarray(dres.f_best)[None, None],
+                        [(g, float(h), float(h)) for g, h in
+                         enumerate(hist[:: max(1, len(hist) // 100)])],
+                        n_gen, pop_size * (n_gen + 1))
     else:
         res = run_nsga2(lambda X: np.asarray(eval_multi(jnp.asarray(X))),
-                        xl, xu, pop_size=pop_size, n_gen=n_gen, seed=seed)
+                        xl, xu, pop_size=pop_size, n_gen=n_gen, seed=seed,
+                        repair_fn=repair)
         # pick min primary loss among near-feasible Pareto members
         pf = res.pareto_F
         feas = (pf[:, 1] + pf[:, 2]) <= np.quantile(pf[:, 1] + pf[:, 2], 0.25) + 1e-9

@@ -1,0 +1,67 @@
+"""Fully on-device differential evolution.
+
+The reference's kinopt DE runs 10,000 generations
+(``kinopt/evol/opt/optrun.py:352``); with host-side bookkeeping each
+generation costs a device round-trip. Since DE's update rule is a few
+elementwise ops, the ENTIRE optimization lives in one ``lax.fori_loop``:
+population, RNG and objective all stay on device — 10k generations execute
+in a single dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DEResult(NamedTuple):
+    x_best: jnp.ndarray
+    f_best: jnp.ndarray
+    X: jnp.ndarray
+    f: jnp.ndarray
+    history: jnp.ndarray  # (n_gen,) best-so-far per generation
+
+
+def run_de_device(evaluate_batch: Callable, xl, xu, *, pop_size=100,
+                  n_gen=1000, seed=42, F_weight=0.8, CR=0.9,
+                  repair_fn: Callable | None = None) -> DEResult:
+    """DE/rand/1/bin entirely under jit.
+
+    evaluate_batch: jax-traceable (P, d) -> (P,) objective.
+    repair_fn: optional jax-traceable (P, d) -> (P, d) feasibility repair.
+    """
+    xl = jnp.asarray(xl)
+    xu = jnp.asarray(xu)
+    d = xl.shape[0]
+    key = jax.random.PRNGKey(seed)
+
+    key, k0 = jax.random.split(key)
+    X = xl + jax.random.uniform(k0, (pop_size, d), xl.dtype) * (xu - xl)
+    if repair_fn is not None:
+        X = repair_fn(X)
+    f = evaluate_batch(X)
+
+    def gen(i, carry):
+        X, f, key, hist = carry
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        r = jax.random.randint(k1, (3, pop_size), 0, pop_size)
+        V = X[r[0]] + F_weight * (X[r[1]] - X[r[2]])
+        cross = jax.random.uniform(k2, (pop_size, d)) <= CR
+        jrand = jax.random.randint(k3, (pop_size,), 0, d)
+        cross = cross.at[jnp.arange(pop_size), jrand].set(True)
+        U = jnp.clip(jnp.where(cross, V, X), xl, xu)
+        if repair_fn is not None:
+            U = repair_fn(U)
+        fu = evaluate_batch(U)
+        better = fu < f
+        X = jnp.where(better[:, None], U, X)
+        f = jnp.where(better, fu, f)
+        hist = hist.at[i].set(jnp.min(f))
+        return X, f, key, hist
+
+    hist0 = jnp.zeros((n_gen,), f.dtype)
+    X, f, _, hist = jax.lax.fori_loop(0, n_gen, gen, (X, f, key, hist0))
+    best = jnp.argmin(f)
+    return DEResult(X[best], f[best], X, f, hist)

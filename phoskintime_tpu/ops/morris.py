@@ -80,17 +80,18 @@ def morris_analyze(bounds: np.ndarray, X: np.ndarray, Y: np.ndarray,
     span = np.where(hi - lo > 0, hi - lo, 1.0)
     Xu = (X - lo) / span if scaled else X
 
+    # vectorized elementary effects: each consecutive pair within a
+    # trajectory changes exactly one coordinate
+    Xt = Xu[: r * (d + 1)].reshape(r, d + 1, d)
+    Yt = Y[: r * (d + 1)].reshape(r, d + 1)
+    diffs = Xt[:, 1:] - Xt[:, :-1]                  # (r, d, d)
+    j_idx = np.argmax(np.abs(diffs), axis=2)        # (r, d) changed coord
+    steps = np.take_along_axis(diffs, j_idx[:, :, None], axis=2)[:, :, 0]
+    dY = Yt[:, 1:] - Yt[:, :-1]
+    ee_vals = np.where(steps != 0, dY / np.where(steps == 0, 1.0, steps), 0.0)
     EE = np.zeros((r, d))
-    for t in range(r):
-        block = slice(t * (d + 1), (t + 1) * (d + 1))
-        Xt, Yt = Xu[block], Y[block]
-        for k in range(d + 1 - 1):
-            diff = Xt[k + 1] - Xt[k]
-            j = int(np.argmax(np.abs(diff)))
-            step = diff[j]
-            if step == 0:
-                continue
-            EE[t, j] = (Yt[k + 1] - Yt[k]) / step
+    rows = np.repeat(np.arange(r), d)
+    EE[rows, j_idx.ravel()] = ee_vals.ravel()
 
     mu = EE.mean(axis=0)
     mu_star = np.abs(EE).mean(axis=0)
