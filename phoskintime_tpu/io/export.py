@@ -265,3 +265,60 @@ def export_gene_results(path, gene_results: dict):
     w = TableWriter(path)
     w.add("Results", df)
     return w.save()
+
+
+def export_param_correlations(path, pareto_X, slices, topo,
+                              heatmap_path=None):
+    """Parameter correlation matrix across the Pareto ensemble — the
+    reference's identifiability readout (export.py param-correlation
+    family). High |r| between two parameters signals a sloppy/unidentifiable
+    direction."""
+    from phoskintime_tpu.network.params import softplus
+    import jax.numpy as jnp
+
+    X = np.asarray(pareto_X)
+    phys = np.asarray(softplus(jnp.asarray(X)))
+    labels = []
+    for k in topo.kinases:
+        labels.append(f"c_k[{k}]")
+    for p_i, p in enumerate(topo.proteins):
+        labels.append(f"A_i[{p}]")
+    for p in topo.proteins:
+        labels.append(f"B_i[{p}]")
+    for p in topo.proteins:
+        labels.append(f"C_i[{p}]")
+    for p in topo.proteins:
+        labels.append(f"D_i[{p}]")
+    for i, p in enumerate(topo.proteins):
+        for s in topo.sites[i]:
+            labels.append(f"Dp_i[{p}:{s}]")
+    for p in topo.proteins:
+        labels.append(f"E_i[{p}]")
+    labels.append("tf_scale")
+    labels = labels[: phys.shape[1]]
+
+    if len(phys) >= 3:
+        with np.errstate(invalid="ignore"):
+            corr = np.corrcoef(phys, rowvar=False)
+        corr = np.nan_to_num(corr)
+    else:
+        corr = np.eye(phys.shape[1])
+    df = pd.DataFrame(corr, index=labels, columns=labels)
+    w = TableWriter(path)
+    w.add("Param Correlations", df.reset_index(names="param"))
+    written = w.save()
+
+    if heatmap_path is not None and corr.shape[0] <= 200:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 7))
+        im = ax.imshow(corr, cmap="RdBu_r", vmin=-1, vmax=1)
+        ax.set_title("parameter correlations across Pareto ensemble")
+        fig.colorbar(im, ax=ax, shrink=0.8)
+        fig.savefig(heatmap_path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        written.append(heatmap_path)
+    return written

@@ -153,6 +153,12 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
                      dfp_fit, ["protein"])
     export_param_distributions(os.path.join(out_dir, "param_distributions.xlsx"),
                                res.pareto_X, slices, topo)
+    from phoskintime_tpu.io.export import export_param_correlations
+
+    export_param_correlations(os.path.join(out_dir, "param_correlations.xlsx"),
+                              res.pareto_X, slices, topo,
+                              heatmap_path=os.path.join(out_dir,
+                                                        "param_correlations.png"))
 
     # ---- 9. sensitivity ----------------------------------------------------
     sens = None
