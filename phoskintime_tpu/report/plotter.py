@@ -99,7 +99,7 @@ class Plotter:
                                 var_target) + 1)
         fig, ax = plt.subplots(figsize=(6, 5))
         ax.scatter(Z[:, 0], Z[:, 1] if Z.shape[1] > 1 else np.zeros(len(Z)),
-                   s=10, alpha=0.6, c=COLORS[0])
+                   s=10, alpha=0.6, color=COLORS[0])
         ax.set_xlabel(f"PC1 ({p.explained_variance_ratio_[0]:.0%})")
         if Z.shape[1] > 1:
             ax.set_ylabel(f"PC2 ({p.explained_variance_ratio_[1]:.0%})")
@@ -116,7 +116,7 @@ class Plotter:
                  perplexity=min(perplexity, len(X) // 3),
                  init="pca", random_state=42).fit_transform(X)
         fig, ax = plt.subplots(figsize=(6, 5))
-        ax.scatter(Z[:, 0], Z[:, 1], s=10, alpha=0.6, c=COLORS[1])
+        ax.scatter(Z[:, 0], Z[:, 1], s=10, alpha=0.6, color=COLORS[1])
         ax.set_title(f"{self.gene}: parameter t-SNE")
         return self._save(fig, "tsne")
 
