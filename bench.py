@@ -5,7 +5,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Metric: global-model objective evaluations per second (one evaluation =
 softplus unpack -> full-network stiff integration over the union grid
 (bucketed ETD2RK exponential integrator, the production fit path) ->
-3-modality robust loss) at population batch 256 on a 40-protein synthetic
+3-modality robust loss) at population batch 1024 on a 40-protein synthetic
 network mirroring the reference's data scale.
 
 Baseline: the reference evaluates candidates with SciPy LSODA + Numba-style
@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-POP = 256
+POP = 1024
 N_PROTEINS = 40
 N_KINASES = 12
 
@@ -109,7 +109,7 @@ def main():
     print(json.dumps({
         "metric": "global_model_objective_evals_per_s",
         "value": round(rate, 2),
-        "unit": "evals/s (pop=256, N=40 proteins, ETD2RK + 3-mod loss)",
+        "unit": "evals/s (pop=1024, N=40 proteins, ETD2RK + 3-mod loss)",
         "vs_baseline": round(rate / baseline, 3),
     }))
 
