@@ -8,7 +8,10 @@ the 7-day steady-state check, and writes figures + an HTML report.
     python examples/run_demo.py [out_dir]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax.numpy as jnp
 import numpy as np
