@@ -374,3 +374,48 @@ class TestSoftplus:
         y = np.asarray(softplus(x))
         assert np.all(np.isfinite(y))
         assert y[3] == pytest.approx(700.0)
+
+
+class TestShardedExpoObjective:
+    def test_population_objective_sharded_matches(self):
+        """The ETD2RK batched objective partitions over the mesh population
+        axis and matches the unsharded result."""
+        from jax.sharding import Mesh
+        from phoskintime_tpu.network.objective import (
+            evaluate_population,
+            make_population_objective,
+        )
+
+        topo, Kmat = small_net()
+        sys = GlobalSystem(topo, GRID, Kmat)
+        rng = np.random.default_rng(0)
+        rows_p, rows_r, rows_ph = [], [], []
+        for p in topo.proteins:
+            for t in GRID:
+                rows_p.append((p, t, rng.uniform(0.5, 2.0)))
+            for t in RNA_GRID:
+                rows_r.append((p, t, rng.uniform(0.5, 2.0)))
+            for s in topo.sites[topo.p2i[p]]:
+                for t in GRID:
+                    rows_ph.append((p, s, t, rng.uniform(0.5, 2.0)))
+        df_p = pd.DataFrame(rows_p, columns=["protein", "time", "fc"])
+        df_r = pd.DataFrame(rows_r, columns=["protein", "time", "fc"])
+        df_ph = pd.DataFrame(rows_ph, columns=["protein", "psite", "time", "fc"])
+        grid = np.unique(np.concatenate([GRID, RNA_GRID]))
+        ld = prepare_loss_data(topo, df_p, df_r, df_ph, grid)
+        defaults = default_params(topo)
+        bounds = {k: (1e-3, 4.0) for k in
+                  ["c_k", "A_i", "B_i", "C_i", "D_i", "Dp_i", "E_i",
+                   "tf_scale"]}
+        theta0, slices, xl, xu = init_raw_params(defaults, topo, bounds)
+        lambdas = {"protein": 1.0, "rna": 1.0, "phospho": 1.0, "prior": 0.1}
+        obj = make_population_objective(sys, slices, ld, defaults, lambdas,
+                                        grid)
+
+        pop = jnp.asarray(theta0[None] + 0.1 * rng.normal(size=(16, len(theta0))))
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("pop",))
+        F_sharded = np.asarray(evaluate_population(obj, pop, mesh=mesh))
+        F_local = np.asarray(evaluate_population(obj, pop))
+        assert F_sharded.shape == (16, 3)
+        assert np.all(np.isfinite(F_sharded))
+        np.testing.assert_allclose(F_sharded, F_local, rtol=1e-6)
