@@ -140,3 +140,83 @@ class TestIOUtils:
         assert "a.png" in moved and "b.csv" in moved
         assert (tmp_path / "figures" / "a.png").exists()
         assert (tmp_path / "report.html").exists()  # untouched
+
+
+class TestSolverVariants:
+    def test_network_esdirk_matches_rk45(self, tiny):
+        from phoskintime_tpu.network.simulate import simulate
+
+        sys_, topo, *_ = tiny
+        pj = {k: jnp.asarray(v) for k, v in default_params(topo).items()}
+        r1 = simulate(sys_, pj, jnp.asarray(GRID), rtol=1e-8, atol=1e-10,
+                      max_steps=100000)
+        r2 = simulate(sys_, pj, jnp.asarray(GRID), rtol=1e-8, atol=1e-10,
+                      max_steps=100000, solver="esdirk")
+        assert bool(r1.success) and bool(r2.success)
+        np.testing.assert_allclose(np.asarray(r2.ys), np.asarray(r1.ys),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_objective_solver_expo_single(self, tiny):
+        from phoskintime_tpu.network.objective import make_objective
+
+        sys_, topo, dfp, dfr, dfph, ld, grid = tiny
+        defaults = default_params(topo)
+        bounds = {k: (1e-3, 4.0) for k in
+                  ["c_k", "A_i", "B_i", "C_i", "D_i", "Dp_i", "E_i",
+                   "tf_scale"]}
+        theta0, slices, *_ = init_raw_params(defaults, topo, bounds)
+        lam = {"protein": 1.0, "rna": 1.0, "phospho": 1.0, "prior": 0.0}
+        F_rk = np.asarray(make_objective(sys_, slices, ld, defaults, lam,
+                                         grid)(jnp.asarray(theta0)))
+        F_ex = np.asarray(make_objective(sys_, slices, ld, defaults, lam,
+                                         grid, solver="expo")(jnp.asarray(theta0)))
+        np.testing.assert_allclose(F_ex, F_rk, rtol=1e-3, atol=1e-6)
+
+
+class TestCLIEvol:
+    def test_kinopt_tfopt_evol_modes(self, tmp_path):
+        import pandas as pd
+        from phoskintime_tpu.cli import main as cli_main
+
+        rng = np.random.default_rng(0)
+        root = tmp_path
+        data = root / "data"
+        data.mkdir()
+        (root / "config.toml").write_text("""
+[paths]
+data_dir = "data"
+[tfopt]
+loss_type = 0
+[tfopt.modes.evol]
+optimizer = 0
+[kinopt]
+loss_type = "base"
+[kinopt.modes.evol]
+method = "DE"
+""")
+
+        def wide(genes, psites, n=14):
+            d = {"GeneID": genes, "Psite": psites}
+            for i in range(1, n + 1):
+                d[f"x{i}"] = rng.uniform(0.5, 2.0, len(genes))
+            return pd.DataFrame(d)
+
+        wide(["GA", "GA", "KIN1", "KIN1"],
+             ["", "S_1", "", "S_9"]).to_csv(data / "input1.csv", index=False)
+        pd.DataFrame({"GeneID": ["GA"], "Psite": ["S_1"],
+                      "Kinase": ["{KIN1}"]}).to_csv(data / "input2.csv",
+                                                    index=False)
+        wide(["GA", "KIN1"], ["", ""], n=9).drop(columns=["Psite"]).to_csv(
+            data / "input3.csv", index=False)
+        pd.DataFrame({"Source": ["KIN1"], "Target": ["GA"]}).to_csv(
+            data / "input4.csv", index=False)
+
+        cwd = os.getcwd()
+        os.chdir(root)
+        try:
+            cli_main(["kinopt", "--mode", "evol"])
+            cli_main(["tfopt", "--mode", "evol"])
+        finally:
+            os.chdir(cwd)
+        assert any(f.startswith("kinopt_results") for f in os.listdir(data))
+        assert any(f.startswith("tfopt_results") for f in os.listdir(data))
