@@ -213,78 +213,94 @@ def pick_solution_frechet(system, slices, pareto_X, df_prot, df_rna, df_pho,
     P = len(pareto_X)
     times = np.unique(np.concatenate([tp_p, tp_r, tp_ph]))
 
-    # --- batched simulation of every Pareto member -----------------------
-    params_b = jax.vmap(
-        lambda th: unpack_params(th, slices, topo)
-    )(jnp.asarray(np.asarray(pareto_X, float),
-                  system.rhs.W_pad.dtype))
-    if topo.model in (0, 1, 2):
-        from phoskintime_tpu.network.expo import exponential_simulate_batched
+    # --- batched simulation of every Pareto member (ONE jitted program:
+    # run eagerly, the expo scan compiles op-by-op — ~100 s of XLA churn) --
+    def _simulate_all(thetas):
+        params_b = jax.vmap(
+            lambda th: unpack_params(th, slices, topo)
+        )(jnp.asarray(thetas, system.rhs.W_pad.dtype))
+        if topo.model in (0, 1, 2):
+            from phoskintime_tpu.network.expo import exponential_simulate_batched
 
-        ys, _ = exponential_simulate_batched(system, params_b,
-                                             jnp.asarray(times))
-    else:
-        from phoskintime_tpu.network.simulate import simulate
+            # NOTE: pass host-side `times` — the segment planner needs
+            # concrete values even under trace
+            ys, _ = exponential_simulate_batched(system, params_b, times)
+        else:
+            from phoskintime_tpu.network.simulate import simulate
 
-        ys = jax.vmap(lambda th: simulate(
-            system, unpack_params(th, slices, topo), jnp.asarray(times)).ys
-        )(jnp.asarray(np.asarray(pareto_X, float)))
+            ys = jax.vmap(lambda p: simulate(
+                system, p, jnp.asarray(times)).ys)(params_b)
 
-    def fc_all(Y_flat):
-        obs = extract_observables(system, Y_flat)
-        return fold_changes(obs, jnp.asarray(times))
+        def fc_all(Y_flat):
+            obs = extract_observables(system, Y_flat)
+            return fold_changes(obs, jnp.asarray(times))
 
-    fc_r, fc_p, fc_ph = jax.vmap(fc_all)(ys)     # (P,T,N), (P,T,N), (P,T,N,S)
+        return jax.vmap(fc_all)(ys)
+
+    fc_r, fc_p, fc_ph = jax.jit(_simulate_all)(np.asarray(pareto_X, float))
     fc_r, fc_p, fc_ph = np.asarray(fc_r), np.asarray(fc_p), np.asarray(fc_ph)
 
     t_idx = {float(t): i for i, t in enumerate(times)}
 
     def modality_score(df, grid, pred_cube, site_axis=False):
-        """Sum of per-curve Frechet over all P solutions: (P,) array."""
-        if df is None or len(df) == 0:
-            return np.zeros(P)
-        total = np.zeros(P)
-        keys = ["protein", "psite"] if site_axis else ["protein"]
-        obs_list, pred_list = [], []
-        for key, g in df.groupby(keys):
-            key = key if isinstance(key, tuple) else (key,)
-            g = g.sort_values("time")
-            obs = g[["time", "fc"]].to_numpy(float)
-            if len(obs) < 2:
-                continue
-            i = topo.p2i.get(key[0])
-            if i is None:
-                continue
-            tsel = np.asarray([t_idx[float(tt)] for tt in g["time"]])
-            if site_axis:
-                if key[1] not in topo.sites[i]:
-                    continue
-                s = topo.sites[i].index(key[1])
-                pred_vals = pred_cube[:, tsel, i, s]          # (P, Tc)
-            else:
-                pred_vals = pred_cube[:, tsel, i]
-            obs_list.append(obs)
-            pred_list.append(np.stack(
-                [np.broadcast_to(obs[:, 0][None], pred_vals.shape),
-                 pred_vals], axis=-1))                         # (P, Tc, 2)
-        if not obs_list:
-            return total
-        # group curves by length so each group batches as one vmap call
-        by_len: dict[int, list[int]] = {}
-        for ci, o in enumerate(obs_list):
-            by_len.setdefault(len(o), []).append(ci)
-        for Tc, idxs in by_len.items():
-            obs_arr = jnp.asarray(np.stack([obs_list[ci] for ci in idxs]))
-            pred_arr = jnp.asarray(np.stack([pred_list[ci] for ci in idxs],
-                                            axis=1))
-            # pred_arr: (P, C, Tc, 2); obs_arr: (C, Tc, 2)
-            d = np.asarray(jax.vmap(
-                lambda pr: jax.vmap(frechet_distance)(obs_arr, pr))(pred_arr))
-            total += d.sum(axis=1)
-        return total
+        return _modality_frechet_score(df, pred_cube, site_axis, topo, t_idx, P)
 
     scores = (lambdas["protein"] * modality_score(df_prot, tp_p, fc_p)
               + lambdas["rna"] * modality_score(df_rna, tp_r, fc_r)
               + lambdas["phospho"] * modality_score(df_pho, tp_ph, fc_ph,
                                                     site_axis=True))
     return int(np.argmin(scores)), scores
+
+
+@jax.jit
+def _frechet_pick_batch(obs_arr, pred_arr):
+    """(C, Tc, 2) obs x (P, C, Tc, 2) preds -> (P, C) distances.
+
+    Module-level jit: called eagerly this is ~400 separate tiny op
+    dispatches per curve group (measured 90s of XLA compiles at reference
+    scale); jitted it is one cached program per curve-group shape."""
+    return jax.vmap(lambda pr: jax.vmap(frechet_distance)(obs_arr, pr))(pred_arr)
+
+
+def _modality_frechet_score(df, pred_cube, site_axis, topo, t_idx, P):
+    """Sum of per-curve Frechet over all P solutions: (P,) array."""
+    if df is None or len(df) == 0:
+        return np.zeros(P)
+    total = np.zeros(P)
+    keys = ["protein", "psite"] if site_axis else ["protein"]
+    obs_list, pred_list = [], []
+    for key, g in df.groupby(keys):
+        key = key if isinstance(key, tuple) else (key,)
+        g = g.sort_values("time")
+        obs = g[["time", "fc"]].to_numpy(float)
+        if len(obs) < 2:
+            continue
+        i = topo.p2i.get(key[0])
+        if i is None:
+            continue
+        tsel = np.asarray([t_idx[float(tt)] for tt in g["time"]])
+        if site_axis:
+            if key[1] not in topo.sites[i]:
+                continue
+            s = topo.sites[i].index(key[1])
+            pred_vals = pred_cube[:, tsel, i, s]          # (P, Tc)
+        else:
+            pred_vals = pred_cube[:, tsel, i]
+        obs_list.append(obs)
+        pred_list.append(np.stack(
+            [np.broadcast_to(obs[:, 0][None], pred_vals.shape),
+             pred_vals], axis=-1))                         # (P, Tc, 2)
+    if not obs_list:
+        return total
+    # group curves by length so each group batches as one jitted call
+    by_len: dict[int, list[int]] = {}
+    for ci, o in enumerate(obs_list):
+        by_len.setdefault(len(o), []).append(ci)
+    for Tc, idxs in by_len.items():
+        obs_arr = jnp.asarray(np.stack([obs_list[ci] for ci in idxs]))
+        pred_arr = jnp.asarray(np.stack([pred_list[ci] for ci in idxs],
+                                        axis=1))
+        # pred_arr: (P, C, Tc, 2); obs_arr: (C, Tc, 2)
+        d = np.asarray(_frechet_pick_batch(obs_arr, pred_arr))
+        total += d.sum(axis=1)
+    return total

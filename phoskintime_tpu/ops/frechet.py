@@ -14,7 +14,38 @@ import jax.numpy as jnp
 
 
 def frechet_distance(true_coords: jnp.ndarray, pred_coords: jnp.ndarray) -> jnp.ndarray:
-    """Discrete Frechet distance between two curves of shape (n, d), (m, d)."""
+    """Discrete Frechet distance between two curves of shape (n, d), (m, d).
+
+    For the short experimental curves here (<= ~32 points) the DP is
+    STATICALLY UNROLLED: a scan-inside-scan formulation compiles
+    catastrophically once wrapped in nested vmaps (minutes for a
+    solutions x curves batch), while the unrolled cell graph is a few
+    hundred max/min ops that fuse cleanly. Longer curves fall back to the
+    scan formulation.
+    """
+    n, m = true_coords.shape[0], pred_coords.shape[0]
+    if n * m <= 2048:
+        return _frechet_unrolled(true_coords, pred_coords)
+    return _frechet_scan(true_coords, pred_coords)
+
+
+def _frechet_unrolled(true_coords, pred_coords):
+    dist = jnp.sqrt(jnp.sum(
+        (true_coords[:, None, :] - pred_coords[None, :, :]) ** 2, axis=-1))
+    n, m = dist.shape
+    prev = [dist[0, 0]]
+    for j in range(1, m):
+        prev.append(jnp.maximum(prev[j - 1], dist[0, j]))
+    for i in range(1, n):
+        cur = [jnp.maximum(prev[0], dist[i, 0])]
+        for j in range(1, m):
+            best = jnp.minimum(jnp.minimum(cur[j - 1], prev[j]), prev[j - 1])
+            cur.append(jnp.maximum(best, dist[i, j]))
+        prev = cur
+    return prev[-1]
+
+
+def _frechet_scan(true_coords, pred_coords):
     dist = jnp.sqrt(jnp.sum(
         (true_coords[:, None, :] - pred_coords[None, :, :]) ** 2, axis=-1))
 
