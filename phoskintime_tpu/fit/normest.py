@@ -252,6 +252,7 @@ def normest_batch(genes: list[str],
                   lambdas: np.ndarray | None = None,
                   seed: int = 42,
                   lm_iters: int = 80,
+                  bootstraps: int = 0,
                   alpha_ci: float = 0.95) -> dict[str, NormestResult]:
     """Fit a whole cohort of same-shape genes as TWO LM batches.
 
@@ -353,13 +354,35 @@ def normest_batch(genes: list[str],
     scores2 = np.where(np.isfinite(scores2), scores2, np.inf)
     best = scores2.argmin(axis=1)
 
-    # ---- assemble per-gene results -----------------------------------------
-    out: dict[str, NormestResult] = {}
     popts = np.asarray(popts).reshape(G, S, npar)
     pcovs = np.asarray(pcovs).reshape(G, S, npar, npar)
+    popt_best = popts[np.arange(G), best]                          # (G, npar)
+    pcov_best = pcovs[np.arange(G), best]
+
+    # ---- stage 3 (optional): bootstrap as one more (G x B) lane batch -----
+    # Mirrors the single-gene path above (reference normest.py:490-531):
+    # multiplicative 5% Gaussian noise on each gene's target, restart LM at
+    # that gene's winner; popt/pcov become the bootstrap means.
+    boot_all = None
+    if bootstraps > 0:
+        B = bootstraps
+        noise = rng0.normal(0, 0.05, size=(G, B) + targets_fit.shape[1:])
+        noisy = (targets_fit[:, None] * (1 + noise)).reshape(G * B, -1)
+        p0_b = jnp.asarray(np.repeat(popt_best, B, axis=0))
+        lam_b = jnp.asarray(np.repeat(lam_best, B))
+        sig_b = jnp.asarray(np.repeat(sigmas_all[np.arange(G), w_best], B,
+                                      axis=0))
+        tgt_b = jnp.asarray(np.repeat(targets, B, axis=0))
+        bp, bc, _ = fit_lanes(p0_b, lam_b, sig_b, jnp.asarray(noisy), tgt_b)
+        boot_all = np.asarray(bp).reshape(G, B, npar)
+        popt_best = boot_all.mean(axis=1)
+        pcov_best = np.asarray(bc).reshape(G, B, npar, npar).mean(axis=1)
+
+    # ---- assemble per-gene results -----------------------------------------
+    out: dict[str, NormestResult] = {}
     for g, gene in enumerate(genes):
-        popt = popts[g, best[g]]
-        pcov = pcovs[g, best[g]]
+        popt = popt_best[g]
+        pcov = pcov_best[g]
         param_final = np.exp(popt) if is_log else popt
         sol, fit = solve_ode(jnp.asarray(param_final), y0, num_psites, t,
                              model=model)
@@ -376,5 +399,6 @@ def normest_batch(genes: list[str],
         out[gene] = NormestResult(param_final, popt, pcov, sol, fit, error,
                                   float(scores2[g, best[g]]),
                                   float(lam_best[g]), weight_names[w_best[g]],
-                                  reg_term, ci, None)
+                                  reg_term, ci,
+                                  boot_all[g] if boot_all is not None else None)
     return out

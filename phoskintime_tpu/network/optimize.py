@@ -69,12 +69,13 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                    checkpoint_path=None, checkpoint_every=10) -> GlobalFitResult:
     """End-to-end global fit (the runner.main optimization core).
 
-    solver: "auto" uses the batched exponential (ETD2RK) fast path for
-    mechanisms 0/1/2 (~4x the RK45 throughput) and RK45 for model 4;
-    "rk45"/"esdirk"/"expo" force a choice.
+    solver: "auto" uses the batched exponential fast path for every
+    mechanism (ETD2RK with static phi tables for 0/1/2, ~4x the RK45
+    throughput; per-segment exponential Rosenbrock for the saturating
+    model 4, ~1.3x); "rk45"/"esdirk"/"expo" force a choice.
     """
     if solver == "auto":
-        solver = "expo" if system.topo.model in (0, 1, 2) else "rk45"
+        solver = "expo"  # ETD2RK for 0/1/2, exponential Rosenbrock for 4
     if solver == "expo":
         from phoskintime_tpu.network.objective import make_population_objective
 
@@ -219,17 +220,11 @@ def pick_solution_frechet(system, slices, pareto_X, df_prot, df_rna, df_pho,
         params_b = jax.vmap(
             lambda th: unpack_params(th, slices, topo)
         )(jnp.asarray(thetas, system.rhs.W_pad.dtype))
-        if topo.model in (0, 1, 2):
-            from phoskintime_tpu.network.expo import exponential_simulate_batched
+        from phoskintime_tpu.network.expo import exponential_simulate_batched
 
-            # NOTE: pass host-side `times` — the segment planner needs
-            # concrete values even under trace
-            ys, _ = exponential_simulate_batched(system, params_b, times)
-        else:
-            from phoskintime_tpu.network.simulate import simulate
-
-            ys = jax.vmap(lambda p: simulate(
-                system, p, jnp.asarray(times)).ys)(params_b)
+        # NOTE: pass host-side `times` — the segment planner needs
+        # concrete values even under trace
+        ys, _ = exponential_simulate_batched(system, params_b, times)
 
         def fc_all(Y_flat):
             obs = extract_observables(system, Y_flat)

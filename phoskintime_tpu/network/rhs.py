@@ -168,6 +168,39 @@ class PaddedRHS:
         dP0 = trans - D * P0 - jnp.sum(fflux * msk, axis=1) + jnp.sum(back * msk, axis=1)
         return jnp.concatenate([dR[:, None], dP0[:, None], d_sites], axis=1)
 
+    def jac_blocks_saturating(self, Y, S, p):
+        """Analytic (N, w, w) block Jacobian of the saturating mechanism
+        (TF input frozen). Used by the exponential-Rosenbrock integrator:
+        closed-form is ~6x cheaper than w jvp passes per segment.
+
+        Nonzero entries (slots [R, P0, s_1..s_Smax]):
+          dR/dR        = -B
+          dP0/dR       = C/(1+R)^2
+          dP0/dP0      = -D - sum_j S_j m_j /(1+P0)^2
+          dP0/ds_j     = +E m_j
+          ds_j/dP0     = S_j m_j /(1+P0)^2
+          ds_j/ds_j    = -(Dp_j + D + E) m_j
+        """
+        N, w = self.N, self.width
+        msk = self.site_mask
+        B, C, D, E = p["B_i"], p["C_i"], p["D_i"], p["E_i"]
+        Dp = p["Dp_i"]
+        R, P0 = Y[:, 0], Y[:, 1]
+        Sm = S * msk
+        dtrans = C / (1.0 + R) ** 2
+        dflux = Sm / (1.0 + P0[:, None]) ** 2          # (N, Smax)
+
+        J = jnp.zeros((N, w, w), Y.dtype)
+        J = J.at[:, 0, 0].set(-B)
+        J = J.at[:, 1, 0].set(dtrans)
+        J = J.at[:, 1, 1].set(-D - jnp.sum(dflux, axis=1))
+        J = J.at[:, 1, 2:].set(E[:, None] * msk)
+        J = J.at[:, 2:, 1].set(dflux)
+        ii = jnp.arange(w - 2)
+        diag = -(Dp + D[:, None] + E[:, None]) * msk
+        J = J.at[:, ii + 2, ii + 2].set(diag)
+        return J
+
     def _rhs_sequential(self, Y, S, synth, p):
         """Model 1 chain (reference models.py:215-306)."""
         A, B, C, D, E = p["A_i"], p["B_i"], p["C_i"], p["D_i"], p["E_i"]

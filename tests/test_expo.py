@@ -99,9 +99,35 @@ class TestExponentialSimulate:
         assert out.shape[0] == 3
         assert bool(jnp.all(jnp.isfinite(out)))
 
-    def test_model4_rejected(self):
-        sys_, pj = make_system(0)
-        sys_.topo.model = 4
-        with pytest.raises(ValueError):
-            exponential_simulate(sys_, pj, GRID)
-        sys_.topo.model = 0
+    def test_model4_rosenbrock_matches_rk45(self):
+        """The saturating mechanism integrates via per-segment exponential
+        Rosenbrock (state-dependent Jacobian, in-scan phi build)."""
+        sys_, pj = make_system(4)
+        ref = simulate(sys_, pj, jnp.asarray(GRID), rtol=1e-10, atol=1e-12,
+                       max_steps=300000)
+        assert bool(ref.success)
+        res = exponential_simulate(sys_, pj, GRID)
+        assert bool(res.success)
+        err = np.max(np.abs(np.asarray(res.ys) - np.asarray(ref.ys)) /
+                     (np.abs(np.asarray(ref.ys)) + 1e-8))
+        assert err < 5e-3
+
+    def test_model4_analytic_jacobian_matches_jvp(self):
+        from phoskintime_tpu.network.expo import _jac_blocks_batched
+        import jax
+
+        sys_, pj = make_system(4, seed=3)
+        N, w = sys_.topo.N, sys_.topo.width
+        rng = np.random.default_rng(1)
+        Y = jnp.asarray(np.abs(rng.normal(1.0, 0.5, (1, N, w))))
+        pj_b = {k: jnp.asarray(v)[None] for k, v in pj.items()}
+        J_ref = _jac_blocks_batched(sys_, pj_b, Y, 3, 0.0, Y.dtype)
+
+        def jac_one(Yy, pp):
+            Kt = sys_.rhs.kinase_activity(pp, 3)
+            S = sys_.rhs.site_rates(Kt)
+            return sys_.rhs.jac_blocks_saturating(Yy, S, pp)
+
+        J_an = jax.vmap(jac_one)(Y, pj_b)
+        np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ref),
+                                   atol=1e-12)

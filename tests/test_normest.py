@@ -152,6 +152,28 @@ class TestNormestBatch:
         assert batch["GENEA"].lambda_reg == single.lambda_reg
         assert batch["GENEA"].weight_name == single.weight_name
 
+    def test_batch_bootstrap(self):
+        """Bootstrap lanes: boot_params populated, mean near point fit."""
+        from phoskintime_tpu.fit.normest import normest_batch
+
+        n = 1
+        true, y0, pr, p, r = synth_gene("distmod", n, 3)
+        y0 = initial_condition(n, "distmod")
+        kw = dict(model="distmod", use_regularization=True, n_starts=4,
+                  lm_iters=40)
+        base = normest_batch(["G1"], pr[None], p[None], r[None],
+                             np.asarray(y0), n, TIME_POINTS, BOUNDS, **kw)
+        boot = normest_batch(["G1"], pr[None], p[None], r[None],
+                             np.asarray(y0), n, TIME_POINTS, BOUNDS,
+                             bootstraps=8, **kw)
+        bres = boot["G1"]
+        assert bres.boot_params is not None and bres.boot_params.shape == (
+            8, len(bres.params))
+        assert np.all(np.isfinite(bres.boot_params))
+        # bootstrap mean should stay in the neighbourhood of the point fit
+        np.testing.assert_allclose(bres.params, base["G1"].params,
+                                   rtol=0.5, atol=0.5)
+
     def test_pipeline_batched_grouping(self, tmp_path):
         """run_model_pipeline groups by site count and produces outputs."""
         import pandas as pd
