@@ -153,3 +153,115 @@ def map_priors(kin_alpha_df: pd.DataFrame,
     out = pd.concat([kin, tf], axis=1)
     out.index.name = "gene"
     return out.reset_index()
+
+
+# ---------------------------------------------------------------------------
+# publication viz (reference scripts/kinopt_network_viz.py,
+# tfopt_network_viz.py, make_kinopt_diagram.py) — matplotlib-only: the
+# reference's graphviz/pydot DAG render is replaced by the same layered
+# bipartite fallback it ships for graphviz-less hosts.
+# ---------------------------------------------------------------------------
+
+def plot_identity_band(obs, est, out_path: str, labels=None, q: float = 0.95,
+                       title="observed vs reconstructed"):
+    """Scatter with y = x +/- delta_q band; points outside the band are
+    annotated (reference kinopt_network_viz.py enhancement 1)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    obs = np.asarray(obs, float)
+    est = np.asarray(est, float)
+    resid = np.abs(est - obs)
+    delta = float(np.quantile(resid, q)) if len(resid) else 0.0
+    lim = [min(obs.min(), est.min()), max(obs.max(), est.max())]
+
+    fig, ax = plt.subplots(figsize=(5.5, 5.5))
+    ax.scatter(obs, est, s=14, alpha=0.7, edgecolor="none")
+    ax.plot(lim, lim, "k-", lw=1)
+    ax.fill_between(lim, [v - delta for v in lim], [v + delta for v in lim],
+                    color="gray", alpha=0.2,
+                    label=f"{int(q*100)}% band (+/-{delta:.3g})")
+    if labels is not None:
+        out = resid > delta
+        for x, y, lab in zip(obs[out], est[out], np.asarray(labels)[out]):
+            ax.annotate(str(lab), (x, y), fontsize=6, alpha=0.8)
+    ax.set_xlabel("observed")
+    ax.set_ylabel("reconstructed")
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_breadth_vs_load(readout: pd.DataFrame, out_path: str,
+                         name_col: str | None = None,
+                         breadth_col: str = "n_targets",
+                         load_col: str = "total_alpha",
+                         label_above: float = 1.0):
+    """Regulator breadth vs control load, labelling high-load regulators
+    (reference kinopt_network_viz.py enhancement 2)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if name_col is None:
+        name_col = readout.columns[0]
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    ax.scatter(readout[breadth_col], readout[load_col], s=18, alpha=0.8)
+    for _, r in readout[readout[load_col] > label_above].iterrows():
+        ax.annotate(str(r[name_col]), (r[breadth_col], r[load_col]),
+                    fontsize=7)
+    ax.set_xlabel(breadth_col)
+    ax.set_ylabel(load_col)
+    ax.set_title("regulator breadth vs control load")
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_network_dag(edges: pd.DataFrame, out_path: str,
+                     title="control logic"):
+    """Layered bipartite DAG: sources on the top rank, targets below, edge
+    width ~ |weight| (reference kinopt_network_viz.py enhancement 3 /
+    make_kinopt_diagram.py, without the graphviz dependency).
+
+    edges: DataFrame with [source, target, weight] (extra columns kept as
+    hover text are ignored)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    srcs = sorted(edges["source"].unique())
+    tgts = sorted(edges["target"].unique())
+    xs = {s: i / max(1, len(srcs) - 1) for i, s in enumerate(srcs)}
+    xt = {t: i / max(1, len(tgts) - 1) for i, t in enumerate(tgts)}
+    wmax = max(1e-12, float(edges["weight"].abs().max()))
+
+    fig, ax = plt.subplots(figsize=(max(6, 0.6 * max(len(srcs), len(tgts))),
+                                    4.0))
+    for _, e in edges.iterrows():
+        w = abs(float(e["weight"])) / wmax
+        ax.plot([xs[e["source"]], xt[e["target"]]], [1.0, 0.0],
+                color="tab:blue" if float(e["weight"]) >= 0 else "tab:red",
+                lw=0.5 + 2.5 * w, alpha=0.35 + 0.6 * w, zorder=1)
+    for s, x in xs.items():
+        ax.scatter([x], [1.0], s=220, color="#ffd27f", zorder=2,
+                   edgecolor="k", lw=0.5)
+        ax.annotate(s, (x, 1.0), ha="center", va="center", fontsize=6,
+                    zorder=3)
+    for t, x in xt.items():
+        ax.scatter([x], [0.0], s=220, color="#9fd4ff", zorder=2,
+                   edgecolor="k", lw=0.5)
+        ax.annotate(t, (x, 0.0), ha="center", va="center", fontsize=6,
+                    zorder=3)
+    ax.set_ylim(-0.25, 1.25)
+    ax.axis("off")
+    ax.set_title(title)
+    fig.savefig(out_path, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

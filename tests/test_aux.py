@@ -265,3 +265,50 @@ class TestIndicators:
         assert 0 <= perf["asf_pick"] < 3
         rs = residual_summary(np.array([0.1, -0.1, 0.05]))
         assert np.isfinite(rs["std"])
+
+
+class TestLiveMonitor:
+    def test_serves_state_and_page(self):
+        import json
+        import urllib.request
+
+        from phoskintime_tpu.report.live import LiveMonitor
+
+        rng = np.random.default_rng(0)
+        with LiveMonitor(port=0) as mon:
+            for g in range(3):
+                mon(g, None, np.abs(rng.normal(1, 0.3, (8, 3))))
+            url = f"http://127.0.0.1:{mon.port}"
+            state = json.loads(
+                urllib.request.urlopen(url + "/state.json").read())
+            assert len(state["history"]) == 3
+            assert state["n_evals"] == 24
+            assert len(state["history"][0]["f_min"]) == 3
+            page = urllib.request.urlopen(url + "/").read().decode()
+            assert "live fit" in page
+            with pytest.raises(Exception):
+                urllib.request.urlopen(url + "/nope")
+
+
+class TestNetworkViz:
+    def test_all_three_figures(self, tmp_path):
+        from phoskintime_tpu.analysis import (plot_breadth_vs_load,
+                                              plot_identity_band,
+                                              plot_network_dag)
+
+        rng = np.random.default_rng(0)
+        obs = rng.uniform(0.5, 2.0, 40)
+        est = obs + rng.normal(0, 0.08, 40)
+        p1 = plot_identity_band(obs, est, str(tmp_path / "ident.png"),
+                                labels=[f"G{i} S1" for i in range(40)])
+        readout = pd.DataFrame({"Kinase": ["K1", "K2", "K3"],
+                                "n_targets": [3, 9, 1],
+                                "total_alpha": [0.4, 2.1, 0.2]})
+        p2 = plot_breadth_vs_load(readout, str(tmp_path / "load.png"))
+        edges = pd.DataFrame({"source": ["K1", "K1", "K2"],
+                              "target": ["GA", "GB", "GA"],
+                              "weight": [0.8, -0.3, 1.5]})
+        p3 = plot_network_dag(edges, str(tmp_path / "dag.png"))
+        import os
+        for p in (p1, p2, p3):
+            assert os.path.exists(p) and os.path.getsize(p) > 1000

@@ -220,3 +220,107 @@ method = "DE"
             os.chdir(cwd)
         assert any(f.startswith("kinopt_results") for f in os.listdir(data))
         assert any(f.startswith("tfopt_results") for f in os.listdir(data))
+
+
+class TestMechanisticInsights:
+    def test_full_discovery(self, tiny, tmp_path):
+        from phoskintime_tpu.analysis.insights import run_mechanistic_discovery
+
+        sys_, topo, *_ = tiny
+        tf = pd.DataFrame({"tf": ["GA"], "target": ["GB"]})
+        params = {k: jnp.asarray(v)
+                  for k, v in __import__(
+                      "phoskintime_tpu.network", fromlist=["default_params"]
+                  ).default_params(topo).items()}
+        tables = run_mechanistic_discovery(sys_, params, tf,
+                                           out_dir=str(tmp_path))
+        assert set(tables) == {"1_refractory_period", "2_kinetic_lag",
+                               "3_saturation", "4_feedback_gain"}
+        ref = tables["1_refractory_period"]
+        assert set(ref["protein"]) == set(topo.proteins)
+        assert np.all(np.isfinite(ref["flash_index"]))
+        assert len(list(tmp_path.iterdir())) > 0
+
+    def test_kinetic_lag_recovers_known_shift(self):
+        from phoskintime_tpu.analysis.insights import kinetic_lag
+
+        t = np.linspace(0, 120, 61)
+        rna_sig = 1.0 + np.exp(-0.5 * ((t - 30) / 8.0) ** 2)
+        prot_sig = 1.0 + np.exp(-0.5 * ((t - 50) / 8.0) ** 2)  # 20 min later
+        dfr = pd.DataFrame({"protein": "GX", "time": t, "pred_fc": rna_sig})
+        dfp = pd.DataFrame({"protein": "GX", "time": t, "pred_fc": prot_sig})
+        out = kinetic_lag(dfp, dfr, t)
+        assert len(out) == 1
+        assert out["lag_minutes"].iloc[0] == pytest.approx(20.0, abs=2.0)
+
+    def test_feedback_gain_loop_detected(self, tiny):
+        from phoskintime_tpu.analysis.insights import feedback_gain
+        from phoskintime_tpu.network import default_params
+
+        sys_, topo, *_ = tiny
+        params = default_params(topo)
+        # K1 is a kinase; if it is also a protein target of a TF edge and
+        # phosphorylates the TF, a loop exists. Build that df_tf directly.
+        df_tf = pd.DataFrame({"tf": ["GA"], "target": ["K1"]})
+        out = feedback_gain(topo, params, df_tf)
+        # K1 is not a modeled protein in the tiny fixture -> no loop rows,
+        # but the frame must have the schema
+        assert list(out.columns) == ["tf", "kinase", "loop_gain",
+                                     "efficacy_alpha", "signaling_beta"]
+
+
+class TestThermalVariant:
+    def test_standard_limit_matches_base_model(self, tiny):
+        """At T far below every Tm, f -> 1 and the thermal system must
+        reproduce the standard trajectories."""
+        from phoskintime_tpu.analysis.thermal import thermalize
+        from phoskintime_tpu.network import default_params
+        from phoskintime_tpu.network.simulate import simulate
+
+        sys_, topo, *_ = tiny
+        params = {k: jnp.asarray(v) for k, v in default_params(topo).items()}
+        sys_T, p_T = thermalize(sys_, params, T=0.0,
+                                Tm_i=np.full(topo.N, 40.0))
+        t = jnp.asarray(GRID)
+        r0 = simulate(sys_, params, t)
+        rT = simulate(sys_T, {k: jnp.asarray(v) for k, v in p_T.items()}, t)
+        np.testing.assert_allclose(np.asarray(rT.ys), np.asarray(r0.ys),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_heat_shock_reduces_protein(self, tiny, tmp_path):
+        """Above Tm, faster clearance + slower phospho-flux must lower the
+        late total-protein signal; comparison figure is written."""
+        from phoskintime_tpu.analysis.thermal import compare_thermal_standard
+        from phoskintime_tpu.network import default_params
+
+        sys_, topo, *_ = tiny
+        params = default_params(topo)
+        out = compare_thermal_standard(sys_, params,
+                                       Tm_i=np.full(topo.N, 40.0),
+                                       t_eval=np.linspace(0, 240, 25),
+                                       out_dir=str(tmp_path))
+        cold = out["standard_20C"][0]
+        hot = out["heat_shock_42C"][0]
+        assert hot["pred_fc"].iloc[-1] < cold["pred_fc"].iloc[-1]
+        assert (tmp_path / "thermal_comparison.png").exists()
+
+    def test_expo_path_valid_for_thermal_system(self, tiny):
+        """The thermal transform keeps the RHS affine-per-bucket: the
+        exponential fast path must agree with RK45 on the thermal system."""
+        from phoskintime_tpu.analysis.thermal import thermalize
+        from phoskintime_tpu.network import default_params
+        from phoskintime_tpu.network.expo import exponential_simulate
+        from phoskintime_tpu.network.simulate import simulate
+
+        sys_, topo, *_ = tiny
+        params = {k: jnp.asarray(v) for k, v in default_params(topo).items()}
+        sys_T, p_T = thermalize(sys_, params, T=39.0,
+                                Tm_i=np.full(topo.N, 40.0))
+        p_T = {k: jnp.asarray(v) for k, v in p_T.items()}
+        t = jnp.asarray(GRID)
+        ref = simulate(sys_T, p_T, t, rtol=1e-9, atol=1e-11,
+                       max_steps=200000)
+        res = exponential_simulate(sys_T, p_T, GRID)
+        err = np.max(np.abs(np.asarray(res.ys) - np.asarray(ref.ys)) /
+                     (np.abs(np.asarray(ref.ys)) + 1e-8))
+        assert err < 1e-3
