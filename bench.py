@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-POP = 1024
+POP = 2048
 N_PROTEINS = 40
 N_KINASES = 12
 
@@ -109,7 +109,7 @@ def main():
     print(json.dumps({
         "metric": "global_model_objective_evals_per_s",
         "value": round(rate, 2),
-        "unit": "evals/s (pop=1024, N=40 proteins, ETD2RK + 3-mod loss)",
+        "unit": "evals/s (pop=2048, N=40 proteins, ETD2RK + 3-mod loss)",
         "vs_baseline": round(rate / baseline, 3),
     }))
 

@@ -162,6 +162,10 @@ def _jac_blocks_batched(system, params_b, Yb, jb, t, dtype):
 
 _MAX_SQUARINGS = 24
 _TAYLOR_TERMS = 12
+# per-rate cap used to size the static (unrolled) squaring ladders in the
+# batched table build: ||L||_inf <= cap * (block width); softplus-bounded
+# physical rates sit well under it
+_PHI_RATE_CAP = 32.0
 
 
 def _mm_lanes(x, y):
@@ -222,15 +226,39 @@ def _phi_matrices(L, h, max_squarings: int = _MAX_SQUARINGS,
     all in the lane-resident layout. L: (B, w, w); h: (B,). No inversion of
     L anywhere, so singular/near-singular blocks are fine.
     """
-    w = L.shape[-1]
+    E, Phi1, Phi2 = _phi_matrices_lanes(jnp.transpose(L, (1, 2, 0)), h,
+                                        max_squarings, taylor_terms)
+    tr = lambda M: jnp.transpose(M, (2, 0, 1))
+    return tr(E), tr(Phi1), tr(Phi2)
+
+
+def _phi_matrices_lanes(L, h, max_squarings: int = _MAX_SQUARINGS,
+                        taylor_terms: int | None = None,
+                        dynamic: bool = False,
+                        unroll: int | None = None):
+    """Lane-layout core of :func:`_phi_matrices`: L, outputs (w, w, B).
+
+    ``dynamic=True`` runs the squaring loop with a traced trip count (the
+    batch-wide max of the per-block needs, usually 5-12 instead of the
+    static worst case) — exact, but only legal outside ``vmap``.
+
+    ``unroll=k`` PYTHON-unrolls the squaring loop to exactly k masked
+    iterations. This is the fast path: a ``fori``/``while`` squaring loop
+    materializes the 3-matrix carry through HBM every iteration (~10x the
+    whole build's roofline), while the unrolled chain fuses into one
+    kernel. The per-block squaring need is clamped to k, so k must be an
+    upper bound for full accuracy (callers derive it from the static h and
+    a rate cap).
+    """
+    w = L.shape[0]
     if taylor_terms is None:
         # after scaling ||A|| <= 0.25: term_k = 0.25^k/k! -> 8 terms reach
         # ~4e-10 (past f32 eps), 12 reach f64 accuracy
         taylor_terms = 12 if L.dtype == jnp.float64 else 8
-    A = jnp.transpose(L, (1, 2, 0)) * jnp.asarray(h)[None, None, :]  # Lh
+    A = L * jnp.asarray(h)[None, None, :]             # Lh, (w, w, B)
     norm = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)
     s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.25)))
-    s = jnp.minimum(s, float(max_squarings))
+    s = jnp.minimum(s, float(unroll if unroll is not None else max_squarings))
     scale = 2.0 ** s
     A = A / scale[None, None, :]
     hs = jnp.asarray(h) / scale                       # (B,) scaled step
@@ -238,7 +266,7 @@ def _phi_matrices(L, h, max_squarings: int = _MAX_SQUARINGS,
     eye = jnp.broadcast_to(jnp.eye(w, dtype=L.dtype)[:, :, None], A.shape)
     # E by Horner; phi1 = sum_k A^k/(k+1)!, phi2 = sum_k A^k/(k+2)! by the
     # plain series sharing the powers A^k/k! (||A|| <= 0.25 after scaling,
-    # so 12 terms are beyond f64 accuracy).
+    # so the series reaches dtype accuracy).
     E = eye
     for k in range(taylor_terms, 0, -1):
         E = eye + _mm_lanes(A / k, E)
@@ -262,10 +290,17 @@ def _phi_matrices(L, h, max_squarings: int = _MAX_SQUARINGS,
         return (jnp.where(go, En, Ec), jnp.where(go, P1n, P1c),
                 jnp.where(go, P2n, P2c), jnp.where(go_h, 2 * hc, hc))
 
-    E, Phi1, Phi2, _ = jax.lax.fori_loop(
-        0, max_squarings, body, (E, Phi1, Phi2, hs))
-    tr = lambda M: jnp.transpose(M, (2, 0, 1))
-    return tr(E), tr(Phi1), tr(Phi2)
+    if unroll is not None:
+        carry = (E, Phi1, Phi2, hs)
+        for i in range(unroll):
+            carry = body(i, carry)
+        E, Phi1, Phi2, _ = carry
+    else:
+        n_iter = (jnp.max(s).astype(jnp.int32) if dynamic
+                  else max_squarings)
+        E, Phi1, Phi2, _ = jax.lax.fori_loop(
+            0, n_iter, body, (E, Phi1, Phi2, hs))
+    return E, Phi1, Phi2
 
 
 def exponential_simulate_batched(system, params_b, t_eval,
@@ -298,59 +333,81 @@ def exponential_simulate_batched(system, params_b, t_eval,
             system, params_b, y0b, seg_t0, seg_h, seg_jb, out_idx, dtype)
 
     bucket_uniq, bucket_inv = np.unique(u_jb, return_inverse=True)
-    L_bucket = jax.vmap(
-        lambda p: _block_linear_operators(system, p, bucket_uniq, dtype)
-    )(params_b)                                          # (P, Bu, N, w, w)
 
-    U = len(u_jb)
-    u_L = L_bucket[:, jnp.asarray(bucket_inv)]           # (P, U, N, w, w)
+    # --- linear operators per unique bucket, straight into LANE layout
+    # (Bu, w, w, P*N): analytic closed form for the affine mechanisms
+    # (~15x cheaper than jvp extraction), jvp fallback for model 2.
+    def blocks_one(p):
+        if topo.model in (0, 1):
+            def per_bucket(jb):
+                Kt = system.rhs.kinase_activity(p, jb)
+                return system.rhs.linear_blocks(system.rhs.site_rates(Kt), p)
+            return jax.vmap(per_bucket)(jnp.asarray(bucket_uniq))
+        return _block_linear_operators(system, p, bucket_uniq, dtype)
+
+    L_pb = jax.vmap(blocks_one)(params_b)                # (P, Bu, N, w, w)
+    # lane layout: batch (P*N) on the minor (lane) axis — a (..., w, w)
+    # trailing layout tile-pads every tiny matrix to (8, 128), a ~20x
+    # memory/bandwidth tax measured on the gathers in the segment scan.
+    L_lanes = jnp.transpose(L_pb, (1, 3, 4, 0, 2)).reshape(
+        len(bucket_uniq), w, w, P * N)                   # (Bu, w, w, PN)
+
     u_h_j = jnp.asarray(u_h, dtype)
+    binv_j = jnp.asarray(bucket_inv)
 
     # one lane-parallel phi build per unique (bucket, h) pair, sequential
-    # over the ~14 pairs: the flat (P*U*N) batch OOMs at the 10k-candidate
-    # ensemble (each (w, w, P*U*N) temp is ~GBs), while per-pair batches
-    # of (w, w, P*N) stay ~tens of MB.
+    # over the ~14 pairs (a flat P*U*N batch OOMs at the 10k-candidate
+    # ensemble); the squaring ladder runs with a traced trip count — the
+    # batch-wide actual need (usually 5-12) instead of the static worst
+    # case, ~2x faster. (Python-unrolling the ladders fuses the math but
+    # blows XLA compile time to minutes and regresses runtime 5x at this
+    # operand size — measured, do not revisit.)
     def phis_one(args):
-        L_p, h_p = args                                  # (P, N, w, w), ()
-        Ef, P1f, P2f = _phi_matrices(
-            L_p.reshape(P * N, w, w), jnp.broadcast_to(h_p, (P * N,)))
-        return (Ef.reshape(P, N, w, w), P1f.reshape(P, N, w, w),
-                P2f.reshape(P, N, w, w))
+        slot, h_p = args
+        return _phi_matrices_lanes(L_lanes[slot],
+                                   jnp.broadcast_to(h_p, (P * N,)),
+                                   dynamic=True)
 
-    E_t, P1_t, P2_t = jax.lax.map(phis_one,
-                                  (jnp.moveaxis(u_L, 1, 0), u_h_j))
-    E_u = jnp.moveaxis(E_t, 0, 1)                        # (P, U, N, w, w)
-    Phi1_u = jnp.moveaxis(P1_t, 0, 1)
-    Phi2_u = jnp.moveaxis(P2_t, 0, 1)
+    E_u, Phi1_u, Phi2_u = jax.lax.map(phis_one, (binv_j, u_h_j))
+    # (U, w, w, PN) each; scan-step lookup is a contiguous leading-axis slice
 
     t0s = jnp.asarray(seg_t0, dtype)
     hs = jnp.asarray(seg_h, dtype)
     jbs = jnp.asarray(seg_jb)
     uidxs = jnp.asarray(seg_uidx)
-    bslots = jnp.asarray(bucket_inv)[uidxs]
+    bslots = binv_j[uidxs]
 
-    bmv = lambda M, v: jnp.einsum("pnij,pnj->pni", M, v)
+    # lane batched matvec: (w, w, B) x (w, B) -> (w, B)
+    bmv_l = lambda M, v: jnp.sum(M * v[None, :, :], axis=1)
 
-    def g_of(t, Yb, jb, L):
+    def to_lanes(Y):                                     # (P, N, w) -> (w, PN)
+        return jnp.transpose(Y.reshape(P * N, w), (1, 0))
+
+    def from_lanes(yl):                                  # (w, PN) -> (P, N, w)
+        return jnp.transpose(yl, (1, 0)).reshape(P, N, w)
+
+    def g_of(t, yl, jb, L):
+        Yb = from_lanes(yl)
         r = jax.vmap(lambda yy, pp: system.rhs(t, yy.reshape(-1), jb, pp)
                      )(Yb, params_b).reshape(P, N, w)
-        return r - bmv(L, Yb)
+        return to_lanes(r) - bmv_l(L, yl)
 
-    def step(y, seg):
+    def step(yl, seg):
         t0, h, jb, uidx, bslot = seg
-        Es, P1, P2 = E_u[:, uidx], Phi1_u[:, uidx], Phi2_u[:, uidx]
-        L = L_bucket[:, bslot]
-        Y = y.reshape(P, N, w)
-        g_n = g_of(t0, Y, jb, L)
-        a = bmv(Es, Y) + bmv(P1, g_n)
+        Es, P1, P2 = E_u[uidx], Phi1_u[uidx], Phi2_u[uidx]
+        L = L_lanes[bslot]
+        g_n = g_of(t0, yl, jb, L)
+        a = bmv_l(Es, yl) + bmv_l(P1, g_n)
         g_a = g_of(t0 + h, a, jb, L)
-        Y_new = a + bmv(P2 / h, g_a - g_n)
-        y_new = Y_new.reshape(P, N * w)
+        y_new = a + bmv_l(P2 / h, g_a - g_n)
         return y_new, y_new
 
-    _, ys_seg = jax.lax.scan(step, y0b, (t0s, hs, jbs, uidxs, bslots))
-    ys_all = jnp.concatenate([y0b[None], ys_seg], axis=0)  # (S+1, P, d)
-    ys = jnp.transpose(ys_all[jnp.asarray(out_idx) + 1], (1, 0, 2))
+    yl0 = to_lanes(y0b.reshape(P, N, w))
+    _, ys_seg = jax.lax.scan(step, yl0, (t0s, hs, jbs, uidxs, bslots))
+    ys_all = jnp.concatenate([yl0[None], ys_seg], axis=0)   # (S+1, w, PN)
+    sel = ys_all[jnp.asarray(out_idx) + 1]                  # (T, w, PN)
+    ys = jnp.transpose(sel.reshape(len(out_idx), w, P, N),
+                       (2, 0, 3, 1)).reshape(P, len(out_idx), N * w)
     success = jnp.all(jnp.isfinite(ys), axis=(1, 2))
     return ys, success
 
