@@ -303,6 +303,60 @@ def _phi_matrices_lanes(L, h, max_squarings: int = _MAX_SQUARINGS,
     return E, Phi1, Phi2
 
 
+def _phi_vectors_lanes(L, h, taylor_terms: int | None = None,
+                       max_squarings: int = _MAX_SQUARINGS):
+    """E = expm(Lh) plus ONLY column 0 of h*phi1(Lh) and h^2*phi2(Lh).
+
+    The ETD2RK remainder g(y) lives in the R slot alone (synthesis term),
+    so the phi matrices only ever multiply e_0 — the doubling identities
+    then propagate VECTORS (1 matmul + 2 matvecs per squaring instead of
+    3 matmuls), and the Taylor stage for the phis is w matvec passes.
+    Layout: L (w, w, B); returns E (w, w, B), p1 (w, B), p2 (w, B).
+    Runs the squaring ladder with a traced trip count (legal outside vmap).
+    """
+    w = L.shape[0]
+    if taylor_terms is None:
+        taylor_terms = 12 if L.dtype == jnp.float64 else 8
+    A = L * jnp.asarray(h)[None, None, :]
+    norm = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)
+    s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.25)))
+    s = jnp.minimum(s, float(max_squarings))
+    scale = 2.0 ** s
+    A = A / scale[None, None, :]
+    hs = jnp.asarray(h) / scale
+
+    mv = lambda M, v: jnp.sum(M * v[None, :, :], axis=1)   # (w,w,B)x(w,B)
+
+    eye = jnp.broadcast_to(jnp.eye(w, dtype=L.dtype)[:, :, None], A.shape)
+    E = eye
+    for k in range(taylor_terms, 0, -1):
+        E = eye + _mm_lanes(A / k, E)
+
+    e0 = jnp.zeros((w, A.shape[-1]), L.dtype).at[0].set(1.0)
+    term = e0                                    # A^k/k! e0
+    v1 = e0                                      # sum term/(k+1)
+    v2 = e0 / 2.0                                # sum term/((k+1)(k+2))
+    for k in range(1, taylor_terms + 1):
+        term = mv(A, term) / k
+        v1 = v1 + term / (k + 1)
+        v2 = v2 + term / ((k + 1) * (k + 2))
+    p1 = v1 * hs[None, :]
+    p2 = v2 * (hs * hs)[None, :]
+
+    def body(i, carry):
+        Ec, p1c, p2c, hc = carry
+        go = (i < s)[None, :]
+        p2n = p2c + mv(Ec, p2c) + p1c * hc[None, :]
+        p1n = p1c + mv(Ec, p1c)
+        En = _mm_lanes(Ec, Ec)
+        return (jnp.where(go[None], En, Ec), jnp.where(go, p1n, p1c),
+                jnp.where(go, p2n, p2c), jnp.where(i < s, 2 * hc, hc))
+
+    n_iter = jnp.max(s).astype(jnp.int32)
+    E, p1, p2, _ = jax.lax.fori_loop(0, n_iter, body, (E, p1, p2, hs))
+    return E, p1, p2
+
+
 def exponential_simulate_batched(system, params_b, t_eval,
                                  substep: float = 16.0, y0=None):
     """Natively-batched ETD2RK: params_b leaves carry a leading population
@@ -364,18 +418,17 @@ def exponential_simulate_batched(system, params_b, t_eval,
     # operand size — measured, do not revisit.)
     def phis_one(args):
         slot, h_p = args
-        return _phi_matrices_lanes(L_lanes[slot],
-                                   jnp.broadcast_to(h_p, (P * N,)),
-                                   dynamic=True)
+        return _phi_vectors_lanes(L_lanes[slot],
+                                  jnp.broadcast_to(h_p, (P * N,)))
 
     E_u, Phi1_u, Phi2_u = jax.lax.map(phis_one, (binv_j, u_h_j))
-    # (U, w, w, PN) each; scan-step lookup is a contiguous leading-axis slice
+    # E_u (U, w, w, PN); Phi*_u (U, w, PN); scan-step lookup is a
+    # contiguous leading-axis slice
 
     t0s = jnp.asarray(seg_t0, dtype)
     hs = jnp.asarray(seg_h, dtype)
     jbs = jnp.asarray(seg_jb)
     uidxs = jnp.asarray(seg_uidx)
-    bslots = binv_j[uidxs]
 
     # lane batched matvec: (w, w, B) x (w, B) -> (w, B)
     bmv_l = lambda M, v: jnp.sum(M * v[None, :, :], axis=1)
@@ -386,24 +439,26 @@ def exponential_simulate_batched(system, params_b, t_eval,
     def from_lanes(yl):                                  # (w, PN) -> (P, N, w)
         return jnp.transpose(yl, (1, 0)).reshape(P, N, w)
 
-    def g_of(t, yl, jb, L):
+    def synth_of(yl, jb):
+        """g(y) = rhs(y) - L y collapses to the synthesis drive in the R
+        slot for the affine mechanisms — computed directly instead of
+        evaluating the full RHS and subtracting the L-matvec."""
         Yb = from_lanes(yl)
-        r = jax.vmap(lambda yy, pp: system.rhs(t, yy.reshape(-1), jb, pp)
-                     )(Yb, params_b).reshape(P, N, w)
-        return to_lanes(r) - bmv_l(L, yl)
+        s = jax.vmap(lambda yy, pp: system.rhs.synthesis_vector(
+            yy, system.rhs.kinase_activity(pp, jb), pp))(Yb, params_b)
+        return s.reshape(P * N)
 
     def step(yl, seg):
-        t0, h, jb, uidx, bslot = seg
+        t0, h, jb, uidx = seg
         Es, P1, P2 = E_u[uidx], Phi1_u[uidx], Phi2_u[uidx]
-        L = L_lanes[bslot]
-        g_n = g_of(t0, yl, jb, L)
-        a = bmv_l(Es, yl) + bmv_l(P1, g_n)
-        g_a = g_of(t0 + h, a, jb, L)
-        y_new = a + bmv_l(P2 / h, g_a - g_n)
+        s_n = synth_of(yl, jb)
+        a = bmv_l(Es, yl) + P1 * s_n[None, :]
+        s_a = synth_of(a, jb)
+        y_new = a + (P2 / h) * (s_a - s_n)[None, :]
         return y_new, y_new
 
     yl0 = to_lanes(y0b.reshape(P, N, w))
-    _, ys_seg = jax.lax.scan(step, yl0, (t0s, hs, jbs, uidxs, bslots))
+    _, ys_seg = jax.lax.scan(step, yl0, (t0s, hs, jbs, uidxs))
     ys_all = jnp.concatenate([yl0[None], ys_seg], axis=0)   # (S+1, w, PN)
     sel = ys_all[jnp.asarray(out_idx) + 1]                  # (T, w, PN)
     ys = jnp.transpose(sel.reshape(len(out_idx), w, P, N),

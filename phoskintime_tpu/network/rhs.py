@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -196,6 +197,17 @@ class PaddedRHS:
         dP0 = trans - D * P0 - jnp.sum(fflux * msk, axis=1) + jnp.sum(back * msk, axis=1)
         return jnp.concatenate([dR[:, None], dP0[:, None], d_sites], axis=1)
 
+    def synthesis_vector(self, Y, Kt, params):
+        """(N,) synthesis drive — the ONLY non-linear-in-y RHS term of the
+        affine mechanisms (models 0/1/2): every other term is L y with L
+        the frozen-bucket block operator, so the exponential integrator's
+        remainder g(y) = rhs(y) - L y is exactly this vector scattered
+        into the R slot. Computing it directly skips the full RHS + the
+        L-matvec subtraction in the hot segment scan."""
+        P_vec = self.p_vec(Y, Kt)
+        u = tf_inputs(self.tf_mat, self.tf_deg, P_vec)
+        return synthesis_rate(params["A_i"], params["tf_scale"], u)
+
     def linear_blocks(self, S, p):
         """Analytic (N, w, w) block-diagonal linear operators for the
         affine mechanisms (TF input frozen): model 0 distributive and
@@ -214,15 +226,19 @@ class PaddedRHS:
         t_sc, t_1s, t_s1, t_diag, t_sub, t_sup = (
             jnp.asarray(t, dt_) for t in _linear_block_tables(self.model, w))
 
+        # NOTE: placement contractions pinned to HIGHEST precision — the
+        # TPU default feeds matmuls bf16 inputs, which corrupts the linear
+        # operators (hence the propagators) at ~1e-3 relative.
+        dot = lambda a, t: jnp.dot(a, t, precision=jax.lax.Precision.HIGHEST)
         if self.model == 0:
             # dP0 = C R - (D + sum S) P0 + E sum(sites)
             # ds_j = S_j P0 - (E + Dp_j + D) s_j
             sc = jnp.stack([-B, C, -D - jnp.sum(Sm, axis=1),
                             jnp.zeros_like(B), jnp.zeros_like(B)], axis=1)
-            flat = (sc @ t_sc
-                    + (E[:, None] * msk) @ t_1s
-                    + Sm @ t_s1
-                    + (-(E[:, None] + Dp + D[:, None]) * msk) @ t_diag)
+            flat = (dot(sc, t_sc)
+                    + dot(E[:, None] * msk, t_1s)
+                    + dot(Sm, t_s1)
+                    + dot(-(E[:, None] + Dp + D[:, None]) * msk, t_diag))
         else:
             # chain: dP0 = C R - D P0 - k0 P0 + E P1 (if any sites)
             # ds_j = k_j prev_j + E nxt_j - (k_{j+1} + E + Dp_j + D) s_j
@@ -235,12 +251,12 @@ class PaddedRHS:
                             E * has_sites, jnp.zeros_like(B)], axis=1)
             sub_vals = jnp.concatenate(
                 [jnp.zeros_like(Sm[:, :1]), Sm[:, 1:] * msk[:, 1:]], axis=1)
-            flat = (sc @ t_sc
-                    + (Sm[:, :1] * msk[:, :1]) @ t_s1[:1]
-                    + sub_vals @ t_sub
-                    + (E[:, None] * has_next * msk) @ t_sup
-                    + (-(k_next * has_next + E[:, None] + Dp + D[:, None])
-                       * msk) @ t_diag)
+            flat = (dot(sc, t_sc)
+                    + dot(Sm[:, :1] * msk[:, :1], t_s1[:1])
+                    + dot(sub_vals, t_sub)
+                    + dot(E[:, None] * has_next * msk, t_sup)
+                    + dot(-(k_next * has_next + E[:, None] + Dp + D[:, None])
+                          * msk, t_diag))
         return flat.reshape(N, w, w)
 
     def jac_blocks_saturating(self, Y, S, p):
