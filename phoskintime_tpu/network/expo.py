@@ -481,38 +481,46 @@ def _rosenbrock_simulate_batched(system, params_b, y0b, seg_t0, seg_h,
     hs = jnp.asarray(seg_h, dtype)
     jbs = jnp.asarray(seg_jb)
 
-    bmv = lambda M, v: jnp.einsum("pnij,pnj->pni", M, v)
+    # lane layout throughout (batch on the minor axis — see the affine
+    # path above for the measured ~20x layout tax of (..., w, w) trailing)
+    bmv_l = lambda M, v: jnp.sum(M * v[None, :, :], axis=1)
 
-    def g_of(t, Yb, jb, L):
+    def to_lanes(Y):                                     # (P, N, w) -> (w, PN)
+        return jnp.transpose(Y.reshape(P * N, w), (1, 0))
+
+    def from_lanes(yl):
+        return jnp.transpose(yl, (1, 0)).reshape(P, N, w)
+
+    def g_of(t, yl, jb, L):
+        Yb = from_lanes(yl)
         r = jax.vmap(lambda yy, pp: system.rhs(t, yy.reshape(-1), jb, pp)
                      )(Yb, params_b).reshape(P, N, w)
-        return r - bmv(L, Yb)
+        return to_lanes(r) - bmv_l(L, yl)
 
     def jac_one(Y, pp, jb):
         Kt = system.rhs.kinase_activity(pp, jb)
         S = system.rhs.site_rates(Kt)
         return system.rhs.jac_blocks_saturating(Y, S, pp)
 
-    def step(y, seg):
+    def step(yl, seg):
         t0, h, jb = seg
-        Y = y.reshape(P, N, w)
-        L = jax.vmap(jac_one, in_axes=(0, 0, None))(Y, params_b, jb)
-        Ef, P1f, P2f = _phi_matrices(L.reshape(P * N, w, w),
-                                     jnp.broadcast_to(h, (P * N,)),
-                                     max_squarings=16)
-        Es = Ef.reshape(P, N, w, w)
-        P1 = P1f.reshape(P, N, w, w)
-        P2 = P2f.reshape(P, N, w, w)
-        g_n = g_of(t0, Y, jb, L)
-        a = bmv(Es, Y) + bmv(P1, g_n)
+        Y = from_lanes(yl)
+        L_pn = jax.vmap(jac_one, in_axes=(0, 0, None))(Y, params_b, jb)
+        L = jnp.transpose(L_pn.reshape(P * N, w, w), (1, 2, 0))
+        Es, P1, P2 = _phi_matrices_lanes(L, jnp.broadcast_to(h, (P * N,)),
+                                         dynamic=True)
+        g_n = g_of(t0, yl, jb, L)
+        a = bmv_l(Es, yl) + bmv_l(P1, g_n)
         g_a = g_of(t0 + h, a, jb, L)
-        Y_new = a + bmv(P2 / h, g_a - g_n)
-        y_new = Y_new.reshape(P, N * w)
+        y_new = a + bmv_l(P2 / h, g_a - g_n)
         return y_new, y_new
 
-    _, ys_seg = jax.lax.scan(step, y0b, (t0s, hs, jbs))
-    ys_all = jnp.concatenate([y0b[None], ys_seg], axis=0)
-    ys = jnp.transpose(ys_all[jnp.asarray(out_idx) + 1], (1, 0, 2))
+    yl0 = to_lanes(y0b.reshape(P, N, w))
+    _, ys_seg = jax.lax.scan(step, yl0, (t0s, hs, jbs))
+    ys_all = jnp.concatenate([yl0[None], ys_seg], axis=0)   # (S+1, w, PN)
+    sel = ys_all[jnp.asarray(out_idx) + 1]
+    ys = jnp.transpose(sel.reshape(len(out_idx), w, P, N),
+                       (2, 0, 3, 1)).reshape(P, len(out_idx), N * w)
     success = jnp.all(jnp.isfinite(ys), axis=(1, 2))
     return ys, success
 

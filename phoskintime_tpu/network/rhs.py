@@ -281,16 +281,19 @@ class PaddedRHS:
         dtrans = C / (1.0 + R) ** 2
         dflux = Sm / (1.0 + P0[:, None]) ** 2          # (N, Smax)
 
-        J = jnp.zeros((N, w, w), Y.dtype)
-        J = J.at[:, 0, 0].set(-B)
-        J = J.at[:, 1, 0].set(dtrans)
-        J = J.at[:, 1, 1].set(-D - jnp.sum(dflux, axis=1))
-        J = J.at[:, 1, 2:].set(E[:, None] * msk)
-        J = J.at[:, 2:, 1].set(dflux)
-        ii = jnp.arange(w - 2)
-        diag = -(Dp + D[:, None] + E[:, None]) * msk
-        J = J.at[:, ii + 2, ii + 2].set(diag)
-        return J
+        # same placement tables as the affine blocks (this runs INSIDE the
+        # Rosenbrock segment scan, so scatters here would be per-step);
+        # HIGHEST precision, see linear_blocks
+        t_sc, t_1s, t_s1, t_diag, *_ = (
+            jnp.asarray(t, Sm.dtype) for t in _linear_block_tables(0, w))
+        dot = lambda a, t: jnp.dot(a, t, precision=jax.lax.Precision.HIGHEST)
+        sc = jnp.stack([-B, dtrans, -D - jnp.sum(dflux, axis=1),
+                        jnp.zeros_like(B), jnp.zeros_like(B)], axis=1)
+        flat = (dot(sc, t_sc)
+                + dot(E[:, None] * msk, t_1s)
+                + dot(dflux, t_s1)
+                + dot(-(Dp + D[:, None] + E[:, None]) * msk, t_diag))
+        return flat.reshape(N, w, w)
 
     def _rhs_sequential(self, Y, S, synth, p):
         """Model 1 chain (reference models.py:215-306)."""
