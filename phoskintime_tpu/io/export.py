@@ -147,10 +147,11 @@ def export_param_distributions(path, pareto_X, slices, topo):
 # kinopt / tfopt result workbooks
 # ---------------------------------------------------------------------------
 
-def export_kinopt_results(path, prob, result, meta=None):
-    """Observed/Estimated/Alpha/Beta/Residuals workbook
-    (reference kinopt/*/exporter). The Alpha/Beta sheets follow the schema
-    read back by the global model as priors (io.py:78-127)."""
+def kinopt_sheets(prob, result, meta=None) -> dict:
+    """Observed/Estimated/Alpha/Beta/Residuals sheets as DataFrames
+    (reference kinopt/*/exporter schemas; the Alpha/Beta sheets are what
+    the global model reads back as priors, io.py:78-127). Shared by the
+    workbook exporter and the result-explorer app."""
     import jax.numpy as jnp
 
     from phoskintime_tpu.kinopt.model import predict
@@ -193,18 +194,22 @@ def export_kinopt_results(path, prob, result, meta=None):
     beta_df = pd.concat([beta_df, glob[["Kinase", "Psite", "Beta"]]],
                         ignore_index=True)
 
+    return {"Observed": obs_df, "Estimated": est_df,
+            "Alpha Values": alpha_df, "Beta Values": beta_df,
+            "Residuals": res_df}
+
+
+def export_kinopt_results(path, prob, result, meta=None):
+    """Write the kinopt workbook (Excel, or CSVs without an engine)."""
     w = TableWriter(path)
-    w.add("Observed", obs_df)
-    w.add("Estimated", est_df)
-    w.add("Alpha Values", alpha_df)
-    w.add("Beta Values", beta_df)
-    w.add("Residuals", res_df)
+    for name, df in kinopt_sheets(prob, result, meta).items():
+        w.add(name, df)
     return w.save()
 
 
-def export_tfopt_results(path, prob, result):
-    """mRNA/TF workbook with Alpha/Beta sheets in the global-model prior
-    schema (mRNA, TF, Value / TF, PSite, Value)."""
+def tfopt_sheets(prob, result) -> dict:
+    """mRNA/TF sheets in the global-model prior schema
+    (mRNA, TF, Value / TF, PSite, Value)."""
     import jax.numpy as jnp
 
     from phoskintime_tpu.tfopt.model import predict
@@ -238,11 +243,15 @@ def export_tfopt_results(path, prob, result):
             beta_rows.append((tfs[f], lbl, float(result.beta[f, 1 + k])))
     beta_df = pd.DataFrame(beta_rows, columns=["TF", "PSite", "Value"])
 
+    return {"Observed": obs_df, "Estimated": est_df,
+            "Alpha Values": alpha_df, "Beta Values": beta_df}
+
+
+def export_tfopt_results(path, prob, result):
+    """Write the tfopt workbook (Excel, or CSVs without an engine)."""
     w = TableWriter(path)
-    w.add("Observed", obs_df)
-    w.add("Estimated", est_df)
-    w.add("Alpha Values", alpha_df)
-    w.add("Beta Values", beta_df)
+    for name, df in tfopt_sheets(prob, result).items():
+        w.add(name, df)
     return w.save()
 
 

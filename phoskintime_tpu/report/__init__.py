@@ -3,6 +3,10 @@ reaction diagrams."""
 
 from phoskintime_tpu.report.diagram import illustrate  # noqa: F401
 from phoskintime_tpu.report.html import create_report  # noqa: F401
+from phoskintime_tpu.report.apps import (  # noqa: F401
+    render_kinopt_app,
+    render_tfopt_app,
+)
 from phoskintime_tpu.report.live import LiveMonitor  # noqa: F401
 from phoskintime_tpu.report.latexit import (  # noqa: F401
     dataframe_to_latex,

@@ -165,3 +165,29 @@ class TestKinoptLossVariants:
             assert v0 == pytest.approx(0.0, abs=1e-12)
             v1 = float(kinopt_loss(prob, at + 0.1, bt, loss_type))
             assert v1 > v0
+
+
+class TestResultApps:
+    def test_kinopt_app(self, tmp_path):
+        from phoskintime_tpu.report import render_kinopt_app
+
+        prob, a_true, b_true = kin_problem()
+        res = kin_local(prob, n_starts=4, maxiter=150, seed=0)
+        path = render_kinopt_app(prob, res, str(tmp_path))
+        html = open(path).read()
+        assert "Kinase network readout" in html
+        assert "Knockout preview" in html
+        import os
+        for f in ["identity_band.png", "breadth_load.png", "network_dag.png"]:
+            assert os.path.getsize(tmp_path / f) > 1000
+
+    def test_tfopt_app(self, tmp_path):
+        from phoskintime_tpu.report import render_tfopt_app
+
+        prob, a_true, b_true = tf_problem()
+        res = tf_local(prob, n_starts=4, maxiter=150, seed=0)
+        path = render_tfopt_app(prob, res, str(tmp_path))
+        html = open(path).read()
+        assert "TF network readout" in html
+        # knockout preview must rank a real TF with nonzero effect first
+        assert "Knockout preview" in html
