@@ -172,7 +172,7 @@ class TestResultApps:
         from phoskintime_tpu.report import render_kinopt_app
 
         prob, a_true, b_true = kin_problem()
-        res = kin_local(prob, n_starts=4, maxiter=150, seed=0)
+        res = kin_local(prob, n_starts=4, steps=150, seed=0)
         path = render_kinopt_app(prob, res, str(tmp_path))
         html = open(path).read()
         assert "Kinase network readout" in html
@@ -185,7 +185,7 @@ class TestResultApps:
         from phoskintime_tpu.report import render_tfopt_app
 
         prob, a_true, b_true = tf_problem()
-        res = tf_local(prob, n_starts=4, maxiter=150, seed=0)
+        res = tf_local(prob, n_starts=4, steps=150, seed=0)
         path = render_tfopt_app(prob, res, str(tmp_path))
         html = open(path).read()
         assert "TF network readout" in html
