@@ -96,21 +96,57 @@ def scipy_single_core_rate(b):
     n_solves = 3
     t0 = time.perf_counter()
     for _ in range(n_solves):
-        odeint(rhs_flat, Y0.reshape(-1), times, rtol=1e-5, atol=1e-7,
-               mxstep=5000)
+        Y_lsoda = odeint(rhs_flat, Y0.reshape(-1), times, rtol=1e-5,
+                         atol=1e-7, mxstep=5000)
     dt = time.perf_counter() - t0
-    return n_solves / dt
+    return n_solves / dt, Y_lsoda
+
+
+def accuracy_vs_lsoda(b, Y_lsoda):
+    """Accuracy gate: production ETD2RK fold-changes vs the LSODA oracle.
+
+    Guards against buying throughput with accuracy as substep/grading are
+    tuned: max relative error over every observable fold-change (mRNA,
+    total protein, per-site phospho) at the true parameters, ETD2RK at the
+    production substep + production dtype vs SciPy LSODA (f64, rtol 1e-5).
+    """
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.network.expo import exponential_simulate
+    from phoskintime_tpu.network.simulate import (extract_observables,
+                                                  fold_changes)
+
+    system = b["system"]
+    times = np.asarray(b["grid"], float)
+    p = {k: jnp.asarray(v) for k, v in b["true"].items()}
+    res = exponential_simulate(system, p, jnp.asarray(times))
+    assert bool(res.success), "ETD2RK reported failure at true params"
+
+    msk = np.asarray(system.topo.site_mask(), bool)
+
+    def fcs(Y_flat):
+        obs = extract_observables(system, jnp.asarray(Y_flat))
+        fc_r, fc_p, fc_pho = fold_changes(obs, jnp.asarray(times))
+        return (np.asarray(fc_r, float), np.asarray(fc_p, float),
+                np.asarray(fc_pho, float)[:, msk])
+
+    errs = [np.max(np.abs(a - o) / np.maximum(np.abs(o), 1e-6))
+            for a, o in zip(fcs(res.ys), fcs(Y_lsoda))]
+    return float(max(errs))
 
 
 def main():
     rate, b = tpu_rate()
-    cpu_rate = scipy_single_core_rate(b)
+    cpu_rate, Y_lsoda = scipy_single_core_rate(b)
+    acc = accuracy_vs_lsoda(b, Y_lsoda)
+    assert acc < 0.05, f"ETD2RK drifted from the LSODA oracle: {acc:.2e}"
     baseline = 80.0 * cpu_rate  # reference: 80-core process pool
     print(json.dumps({
         "metric": "global_model_objective_evals_per_s",
         "value": round(rate, 2),
         "unit": "evals/s (pop=2048, N=40 proteins, ETD2RK + 3-mod loss)",
         "vs_baseline": round(rate / baseline, 3),
+        "accuracy_rel_err": round(acc, 6),
     }))
 
 

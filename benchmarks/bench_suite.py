@@ -149,6 +149,148 @@ def main():
     section("5_knockout_scan", (time.perf_counter() - t0) * 1e3,
             "ms for full combination scan", {"n_combos": len(combos)})
 
+    # ---- 6. north star: converged fit at reference scale -------------------
+    # Reference: ~1094 free params (refine.py:68), pop=300, 80 CPU cores.
+    northstar_fit(rng)
+    precision_delta(rng)
+
+
+def _recovery_errors(b, theta_best):
+    """Relative parameter-recovery error vs the synthetic truth, in
+    PHYSICAL space (softplus-unpacked), masked to real (non-padded) sites."""
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.network.params import unpack_params
+
+    topo = b["topo"]
+    fit = unpack_params(jnp.asarray(theta_best), b["slices"], topo)
+    msk = np.asarray(topo.site_mask(), bool)
+    rels = []
+    for k, tv in b["true"].items():
+        fv = np.asarray(fit[k], float)
+        tv = np.asarray(tv, float)
+        if k == "Dp_i":
+            fv, tv = fv[msk], tv[msk]
+        rels.append(np.abs(fv - tv).ravel() / np.maximum(np.abs(tv).ravel(),
+                                                         1e-9))
+    return np.concatenate(rels)
+
+
+def northstar_fit(rng):
+    """BASELINE.md north star: full-network fit wall-clock at reference
+    parameter scale, with parameter recovery vs the synthetic truth."""
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.demo import build_demo_network
+    from phoskintime_tpu.network.optimize import run_global_fit
+    from phoskintime_tpu.network.params import init_raw_params
+
+    b = build_demo_network(n_proteins=150, n_kinases=24, seed=1,
+                           dtype=np.float32)
+    n_var = len(b["theta0"])
+
+    t0 = time.perf_counter()
+    res = run_global_fit(b["system"], b["slices"], b["loss_data"],
+                         b["defaults"], b["lambdas"], b["grid"],
+                         b["xl"], b["xu"], pop=384, n_gen=400, seed=0,
+                         ftol=0.001, ftol_period=25, n_max_evals=200_000,
+                         frechet_pick=False)
+    wall = time.perf_counter() - t0
+
+    best = res.pareto_X[np.argmin(res.pareto_F.sum(axis=1))]
+    rel = _recovery_errors(b, best)
+    section("6_northstar_fullscale_fit", wall,
+            f"s wall-clock (pop=384, n_var={n_var}, converged UNSGA3)",
+            {"n_evals": int(res.n_evals),
+             "ideal": [round(float(v), 6) for v in res.pareto_F.min(axis=0)],
+             "recovery_median_rel_err": round(float(np.median(rel)), 4),
+             "recovery_p90_rel_err": round(float(np.percentile(rel, 90)), 4)})
+
+
+def precision_delta(rng):
+    """f32-on-TPU vs f64-on-CPU: objective deltas at identical thetas and
+    fitted-parameter deltas from identical-seed fits (VERDICT r1 weak #5)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.demo import build_demo_network
+    from phoskintime_tpu.network.objective import make_population_objective
+    from phoskintime_tpu.network.optimize import run_global_fit
+
+    b = build_demo_network(n_proteins=40, n_kinases=12, seed=0,
+                           dtype=np.float32)
+    P = 64
+    thetas = np.asarray(b["theta0"][None]
+                        + 0.05 * rng.normal(size=(P, len(b["theta0"]))),
+                        np.float32)
+
+    objp = make_population_objective(b["system"], b["slices"], b["loss_data"],
+                                     b["defaults"], b["lambdas"], b["grid"])
+    F32 = np.asarray(jax.jit(objp)(jnp.asarray(thetas)), float)
+    res32 = run_global_fit(b["system"], b["slices"], b["loss_data"],
+                           b["defaults"], b["lambdas"], b["grid"],
+                           b["xl"], b["xu"], pop=64, n_gen=20, seed=0,
+                           ftol=0.0, frechet_pick=False)
+    best32 = res32.pareto_X[np.argmin(res32.pareto_F.sum(axis=1))]
+
+    with tempfile.TemporaryDirectory() as td:
+        npz = os.path.join(td, "thetas.npz")
+        np.savez(npz, thetas=thetas)
+        child = (
+            "import os,sys,json\n"
+            "import numpy as np\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms','cpu')\n"
+            "jax.config.update('jax_enable_x64',True)\n"
+            "import jax.numpy as jnp\n"
+            "sys.path.insert(0, %r)\n"
+            "from phoskintime_tpu.demo import build_demo_network\n"
+            "from phoskintime_tpu.network.objective import make_population_objective\n"
+            "from phoskintime_tpu.network.optimize import run_global_fit\n"
+            "b = build_demo_network(n_proteins=40, n_kinases=12, seed=0,"
+            " dtype=np.float64)\n"
+            "thetas = np.load(%r)['thetas'].astype(np.float64)\n"
+            "objp = make_population_objective(b['system'], b['slices'],"
+            " b['loss_data'], b['defaults'], b['lambdas'], b['grid'])\n"
+            "F = np.asarray(jax.jit(objp)(jnp.asarray(thetas)), float)\n"
+            "res = run_global_fit(b['system'], b['slices'], b['loss_data'],"
+            " b['defaults'], b['lambdas'], b['grid'], b['xl'], b['xu'],"
+            " pop=64, n_gen=20, seed=0, ftol=0.0, frechet_pick=False)\n"
+            "best = res.pareto_X[np.argmin(res.pareto_F.sum(axis=1))]\n"
+            "print('CHILD::' + json.dumps({'F': F.tolist(),"
+            " 'best': best.tolist()}))\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), npz)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run([_sys.executable, "-c", child], env=env,
+                             capture_output=True, text=True, timeout=1800)
+        if out.returncode != 0:
+            raise RuntimeError(f"f64 CPU child failed:\n{out.stderr[-2000:]}")
+        payload = _json.loads(
+            [l for l in out.stdout.splitlines()
+             if l.startswith("CHILD::")][0][len("CHILD::"):])
+
+    F64 = np.asarray(payload["F"], float)
+    best64 = np.asarray(payload["best"], float)
+    obj_delta = float(np.max(np.abs(F32 - F64) / np.maximum(np.abs(F64),
+                                                            1e-12)))
+    b64 = build_demo_network(n_proteins=40, n_kinases=12, seed=0,
+                             dtype=np.float32)
+    rel32 = _recovery_errors(b64, best32)
+    rel64 = _recovery_errors(b64, best64)
+    param_delta = float(np.median(np.abs(best32 - best64)
+                                  / np.maximum(np.abs(best64), 1e-9)))
+    section("6_precision_f32tpu_vs_f64cpu", obj_delta,
+            "max rel objective delta at identical thetas (pop=64, N=40)",
+            {"fitted_param_median_rel_delta": round(param_delta, 4),
+             "recovery_median_f32": round(float(np.median(rel32)), 4),
+             "recovery_median_f64": round(float(np.median(rel64)), 4)})
+
 
 if __name__ == "__main__":
     main()

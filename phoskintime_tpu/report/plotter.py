@@ -252,6 +252,259 @@ class Plotter:
         ax.set_title(f"{self.gene}: error summary")
         return self._save(fig, "errors")
 
+    # ------------------------------------------------------------------
+    def plot_param_series(self, estimated_params, param_names, time_points):
+        """Estimated kinetic rates over time (reference plotting.py:182)."""
+        arr = np.asarray(estimated_params, float)
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for i in range(arr.shape[1]):
+            ax.plot(time_points, arr[:, i], color=COLORS[i % 10],
+                    label=param_names[i] if i < len(param_names) else f"p{i}")
+        ax.set_xlabel("time [min]")
+        ax.set_ylabel("kinetic rate")
+        ax.set_title(f"{self.gene}: parameter series")
+        ax.grid(alpha=0.2)
+        ax.legend(fontsize=7, ncol=2)
+        return self._save(fig, "params_series")
+
+    def plot_profiles(self, data):
+        """Per-column rate profiles from a tidy frame with a 'Time' column
+        (reference plotting.py:203)."""
+        cols = [c for c in data.columns if c != "Time"]
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for i, c in enumerate(cols):
+            ax.plot(data["Time"], data[c], marker="o", ms=4,
+                    color=COLORS[i % 10], label=str(c))
+        ax.set_xlabel("time [min]")
+        ax.set_ylabel("kinetic rate")
+        ax.set_title(f"{self.gene}: parameter profiles")
+        ax.grid(alpha=0.2)
+        ax.legend(fontsize=7)
+        return self._save(fig, "params_profiles")
+
+    def plot_param_scatter(self, est_arr, num_psites, time_vals):
+        """A/B/C/D vs per-site S rates: time-colored scatter with a linear
+        trend per site, plus a KDE density panel (reference plotting.py:335).
+
+        Returns the list of written paths (2 per base parameter)."""
+        from scipy.stats import gaussian_kde
+
+        est_arr = np.asarray(est_arr, float)
+        time_vals = np.asarray(time_vals, float)
+        markers = "osD^vPXh*"
+        paths = []
+        for idx, label in enumerate(["A", "B", "C", "D"]):
+            x = est_arr[:, idx]
+            fig, ax = plt.subplots(figsize=(6.5, 5))
+            sc = None
+            for i in range(num_psites):
+                y = est_arr[:, 4 + i]
+                sc = ax.scatter(x, y, c=time_vals, cmap="viridis", s=40,
+                                alpha=0.8, marker=markers[i % len(markers)])
+                if np.ptp(x) > 0:
+                    k, b = np.polyfit(x, y, 1)
+                    xs = np.linspace(x.min(), x.max(), 50)
+                    ax.plot(xs, k * xs + b, color=COLORS[i % 10], lw=1,
+                            label=f"S{i + 1}")
+            if sc is not None:
+                fig.colorbar(sc, ax=ax, label="time [min]")
+            ax.set_xlabel(f"{label} (rate)")
+            ax.set_ylabel("S (phosphorylation rate)")
+            ax.set_title(self.gene)
+            ax.grid(alpha=0.2)
+            ax.legend(fontsize=7)
+            paths.append(self._save(fig, f"scatter_{label}_S"))
+
+            pts = np.vstack([np.column_stack((x, est_arr[:, 4 + i]))
+                             for i in range(num_psites)])
+            fig, ax = plt.subplots(figsize=(6.5, 5))
+            ax.scatter(pts[:, 0], pts[:, 1], c="k", s=20, alpha=0.5)
+            try:
+                kde = gaussian_kde(pts.T)
+                gx = np.linspace(pts[:, 0].min(), pts[:, 0].max(), 80)
+                gy = np.linspace(pts[:, 1].min(), pts[:, 1].max(), 80)
+                GX, GY = np.meshgrid(gx, gy)
+                D = kde(np.vstack([GX.ravel(), GY.ravel()])).reshape(GX.shape)
+                cf = ax.contourf(GX, GY, D, levels=10, cmap="inferno",
+                                 alpha=0.7)
+                fig.colorbar(cf, ax=ax, label="density")
+            except np.linalg.LinAlgError:
+                pass  # degenerate sample (collinear points): scatter only
+            ax.set_xlabel(label)
+            ax.set_ylabel("S")
+            ax.set_title(self.gene)
+            paths.append(self._save(fig, f"density_{label}_S"))
+        return paths
+
+    def plot_heatmap(self, param_value_df):
+        """Protein x protein parameter-correlation heatmap
+        (reference plotting.py:405)."""
+        df = param_value_df.copy()
+        if "Protein" in df.columns:
+            df = df.set_index("Protein")
+        corr = np.corrcoef(df.to_numpy(float))
+        fig, ax = plt.subplots(figsize=(7, 6))
+        im = ax.imshow(corr, cmap="coolwarm", vmin=-1, vmax=1)
+        ax.set_xticks(range(len(df.index)))
+        ax.set_yticks(range(len(df.index)))
+        ax.set_xticklabels(df.index, rotation=90, fontsize=6)
+        ax.set_yticklabels(df.index, fontsize=6)
+        fig.colorbar(im, ax=ax, label="Pearson r")
+        ax.set_title("parameter-profile correlation")
+        return self._save(fig, "heatmap_protein")
+
+    def plot_top_param_pairs(self, perturbations, max_pairs_per_gene=None):
+        """Pairwise parameter scatter + regression for perturbation samples
+        (reference plotting.py:662).
+
+        ``perturbations``: ``{gene: DataFrame}`` of perturbation samples, or
+        a workbook path whose ``*_perturbations`` sheets hold them."""
+        import re
+        from itertools import combinations
+
+        import pandas as pd
+
+        if isinstance(perturbations, (str, os.PathLike)):
+            xls = pd.ExcelFile(perturbations)
+            perturbations = {
+                s[: -len("_perturbations")]: pd.read_excel(xls, sheet_name=s)
+                for s in xls.sheet_names if s.endswith("_perturbations")}
+
+        paths = []
+        for gene, df in perturbations.items():
+            cols = [c for c in df.columns
+                    if isinstance(c, str) and c != "RMSE"
+                    and re.fullmatch(r"[A-Za-z]\d?", c)]
+            clean = df[cols].dropna().drop_duplicates()
+            if len(cols) < 2 or clean.empty:
+                continue
+            corr = clean.corr().abs()
+            pairs = sorted(combinations(cols, 2),
+                           key=lambda ab: -corr.loc[ab[0], ab[1]])
+            if max_pairs_per_gene is not None:
+                pairs = pairs[:max_pairs_per_gene]
+            for a, b in pairs:
+                x, y = clean[a].to_numpy(float), clean[b].to_numpy(float)
+                fig, ax = plt.subplots(figsize=(6, 6))
+                ax.scatter(x, y, s=10, alpha=0.7)
+                if np.ptp(x) > 0 and len(x) > 2:
+                    k, c0 = np.polyfit(x, y, 1)
+                    xs = np.linspace(x.min(), x.max(), 60)
+                    yh = k * xs + c0
+                    resid = y - (k * x + c0)
+                    se = np.sqrt(np.sum(resid ** 2) / (len(x) - 2))
+                    band = 1.96 * se * np.sqrt(
+                        1 / len(x) + (xs - x.mean()) ** 2
+                        / max(np.sum((x - x.mean()) ** 2), 1e-12))
+                    ax.plot(xs, yh, color="red", alpha=0.6)
+                    ax.fill_between(xs, yh - band, yh + band, color="red",
+                                    alpha=0.15)
+                ax.set_xlabel(a)
+                ax.set_ylabel(b)
+                ax.set_title(f"{gene}: {a} vs {b}  "
+                             f"|r|={corr.loc[a, b]:.2f}", fontsize=10)
+                path = os.path.join(self.out_dir,
+                                    f"{gene}_param_scatter_{a}_vs_{b}.png")
+                fig.savefig(path, dpi=120, bbox_inches="tight")
+                plt.close(fig)
+                paths.append(path)
+        return paths
+
+    def plot_future_fit(self, P_data, R_data, sol, num_psites, psite_labels,
+                        time_points, rna_time_points=None, cutoff_idx=8):
+        """Two-panel fitted-window vs extrapolated-window trajectories
+        (reference plotting.py:1135 + future_times extrapolation)."""
+        sol = np.asarray(sol, float)
+        P_data = np.asarray(P_data, float)
+        R_data = np.asarray(R_data, float)
+        tp = np.asarray(time_points, float)
+        rt = (np.asarray(rna_time_points, float)
+              if rna_time_points is not None else tp[: len(R_data)])
+        n_obs_t = P_data.shape[1]
+
+        fig, axes = plt.subplots(1, 2, figsize=(13, 5.5), sharey=True)
+        for side, (ax, sl) in enumerate(
+                zip(axes, [slice(None, cutoff_idx), slice(cutoff_idx, None)])):
+            t = tp[sl]
+            ax.plot(t, sol[sl, 0], "-", color="black", lw=1,
+                    label="mRNA (R)" if side else None)
+            rmask = ((rt >= t[0]) & (rt <= t[-1]) if len(t)
+                     else np.zeros_like(rt, bool))
+            ax.plot(rt[rmask], R_data[rmask], "s--", ms=4, mec="k",
+                    color="black", alpha=0.7, lw=0.8)
+            ax.plot(t, sol[sl, 1], "-", color="red", lw=1,
+                    label="protein (P)" if side else None)
+            for i in range(num_psites):
+                obs_sl = slice(sl.start or 0,
+                               min(n_obs_t, sl.stop or n_obs_t))
+                ax.plot(tp[obs_sl], P_data[i, obs_sl], "s--", ms=4, mec="k",
+                        color=COLORS[i % 10], alpha=0.8, lw=0.8)
+                ax.plot(t, sol[sl, 2 + i], "-", color=COLORS[i % 10], lw=1,
+                        label=psite_labels[i] if side else None)
+            ax.set_xlabel("time [min]")
+            ax.grid(alpha=0.1)
+        axes[0].set_ylabel("FC")
+        axes[0].set_title("fitted window")
+        axes[1].set_title("extrapolation")
+        axes[1].legend(fontsize=7)
+        fig.suptitle(self.gene)
+        return self._save(fig, "future_fit")
+
+    def plot_regularization(self, results, model_name="model"):
+        """Horizontal bars of the per-gene L2 regularization term
+        (reference plotting.py:1194). ``results``: DataFrame with
+        ``gene``/``reg_term`` columns (io.export.export_gene_results
+        schema) or a workbook path containing that Results sheet."""
+        return self._per_gene_bars(results, ["reg_term", "Regularization"],
+                                   "Tikhonov regularization "
+                                   r"$R=\frac{\lambda}{m}\sum_j p_j^2$",
+                                   f"{model_name}_regularization",
+                                   color="skyblue")
+
+    def plot_model_error(self, results, model_name="model"):
+        """Horizontal bars of the per-gene fit error
+        (reference plotting.py:1241)."""
+        return self._per_gene_bars(results, ["error", "MSE", "RMSE"],
+                                   r"$\mathrm{MSE}=\frac{1}{n}\sum_i"
+                                   r"(y_i-\hat y_i)^2$",
+                                   f"{model_name}_error", color="coral")
+
+    def _per_gene_bars(self, results, value_cols, title, name, color):
+        import pandas as pd
+
+        if isinstance(results, (str, os.PathLike)):
+            results = _read_results_table(results)
+        col = next((c for c in value_cols if c in results.columns), None)
+        gcol = "gene" if "gene" in results.columns else "Gene"
+        if col is None or gcol not in results.columns or results.empty:
+            return None
+        df = results[[gcol, col]].dropna().sort_values(col, ascending=True)
+        vals = df[col].to_numpy(float)
+        fig, ax = plt.subplots(figsize=(7, max(4, 0.3 * len(df))))
+        bars = ax.barh(df[gcol].astype(str), vals, color=color,
+                       edgecolor="black", height=0.6)
+        for b in bars:
+            ax.text(b.get_width() + max(vals.max(), 1e-12) * 0.01,
+                    b.get_y() + b.get_height() / 2, f"{b.get_width():.3g}",
+                    va="center", fontsize=6)
+        ax.set_xlabel("value", fontsize=8)
+        ax.set_ylabel("protein", fontsize=8)
+        ax.set_title(title, fontsize=9)
+        return self._save(fig, name)
+
+
+def _read_results_table(path):
+    """Results table from export_gene_results output (xlsx or CSV fallback)."""
+    import pandas as pd
+
+    p = str(path)
+    if os.path.exists(p) and p.endswith((".xlsx", ".xls")):
+        return pd.read_excel(p)
+    if os.path.exists(p):
+        return pd.read_csv(p)
+    stem = p.rsplit(".", 1)[0]
+    return pd.read_csv(stem + "_results.csv")
+
 
 # ---------------------------------------------------------------------------
 # global-model figures (reference global_model/export.py plot family)

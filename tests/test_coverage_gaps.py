@@ -108,6 +108,94 @@ class TestPlotterMethods:
         assert os.path.exists(pl.plot_perturbation_cloud(
             t, np.abs(rng.normal(1, 0.2, (5, len(t), 4))), sol))
 
+    def test_param_series_and_profiles(self, tmp_path):
+        from phoskintime_tpu.report.plotter import Plotter
+
+        rng = np.random.default_rng(1)
+        pl = Plotter("GENE", str(tmp_path))
+        t = GRID
+        est = np.abs(rng.normal(1, 0.3, (len(t), 5)))
+        p = pl.plot_param_series(est, ["A", "B", "C", "D", "S1"], t)
+        assert os.path.getsize(p) > 5000
+        df = pd.DataFrame(est, columns=["A", "B", "C", "D", "S1"])
+        df["Time"] = t
+        p = pl.plot_profiles(df)
+        assert os.path.getsize(p) > 5000
+
+    def test_param_scatter_and_heatmap(self, tmp_path):
+        from phoskintime_tpu.report.plotter import Plotter
+
+        rng = np.random.default_rng(2)
+        pl = Plotter("GENE", str(tmp_path))
+        t = GRID
+        est = np.abs(rng.normal(1, 0.3, (len(t), 6)))  # A B C D S1 S2
+        paths = pl.plot_param_scatter(est, 2, t)
+        assert len(paths) == 8  # scatter + density for A, B, C, D
+        for p in paths:
+            assert os.path.getsize(p) > 5000
+        df = pd.DataFrame(np.abs(rng.normal(1, 0.3, (5, 6))))
+        df.insert(0, "Protein", [f"G{i}" for i in range(5)])
+        p = pl.plot_heatmap(df)
+        assert os.path.getsize(p) > 5000
+
+    def test_top_param_pairs(self, tmp_path):
+        from phoskintime_tpu.report.plotter import Plotter
+
+        rng = np.random.default_rng(3)
+        pl = Plotter("GENE", str(tmp_path))
+        a = rng.normal(1, 0.3, 40)
+        pert = {"GENE": pd.DataFrame({"A": a, "B": 2 * a + rng.normal(0, 0.05, 40),
+                                      "C": rng.normal(1, 0.3, 40),
+                                      "RMSE": rng.uniform(0, 1, 40)})}
+        paths = pl.plot_top_param_pairs(pert, max_pairs_per_gene=2)
+        assert len(paths) == 2
+        # strongest-correlated pair (A, B) must come first
+        assert "A_vs_B" in paths[0]
+        for p in paths:
+            assert os.path.getsize(p) > 5000
+
+    def test_future_fit_and_future_times(self, tmp_path):
+        from phoskintime_tpu.fit.score import future_times
+        from phoskintime_tpu.report.plotter import Plotter
+
+        t = np.asarray(
+            [0.0, 0.5, 0.75, 1.0, 2.0, 4.0, 8.0, 16.0, 30.0, 60.0, 120.0,
+             240.0, 480.0, 960.0])
+        ext = future_times(3, tp=t)
+        assert len(ext) == len(t) + 3
+        # each new interval = previous interval * (960/480)
+        assert ext[-1] == pytest.approx(960.0 * 8)
+        assert np.allclose(ext[: len(t)], t)
+
+        rng = np.random.default_rng(4)
+        pl = Plotter("GENE", str(tmp_path))
+        n_sites = 2
+        sol = np.abs(rng.normal(1, 0.2, (len(ext), 2 + n_sites)))
+        P_data = np.abs(rng.normal(1, 0.2, (n_sites, len(t))))
+        R_data = np.abs(rng.normal(1, 0.2, 9))
+        rna_t = np.asarray([4.0, 8.0, 15.0, 30.0, 60.0, 120.0, 240.0,
+                            480.0, 960.0])
+        p = pl.plot_future_fit(P_data, R_data, sol, n_sites, ["S1", "S2"],
+                               ext, rna_time_points=rna_t)
+        assert os.path.getsize(p) > 5000
+
+    def test_regularization_and_error_bars(self, tmp_path):
+        from phoskintime_tpu.report.plotter import Plotter
+
+        pl = Plotter("ALL", str(tmp_path))
+        df = pd.DataFrame({"gene": ["G1", "G2", "G3"],
+                           "error": [0.3, 0.1, 0.2],
+                           "reg_term": [1.5, 0.5, 1.0]})
+        p1 = pl.plot_regularization(df, model_name="distributive")
+        p2 = pl.plot_model_error(df, model_name="distributive")
+        assert os.path.getsize(p1) > 5000 and os.path.getsize(p2) > 5000
+        # workbook-path form (CSV fallback schema)
+        csv = tmp_path / "res_results.csv"
+        df.to_csv(csv, index=False)
+        assert pl.plot_model_error(str(csv)) is not None
+        # missing column -> graceful None
+        assert pl.plot_model_error(pd.DataFrame({"gene": ["G"]})) is None
+
     def test_latex_report(self, tmp_path):
         from phoskintime_tpu.report.latexit import (dataframe_to_latex,
                                                     write_latex_report)
