@@ -127,6 +127,12 @@ def cmd_tfopt(args):
         res = run_local(prob, loss_type=loss_type)
     out = os.path.join(data_dir, sec.get("out_file", "tfopt_results.xlsx"))
     export_tfopt_results(out, prob, res)
+    if bool(sec.get("fit_analysis", True)):
+        from phoskintime_tpu.analysis.fitpanels import tfopt_fit_analysis
+
+        adir = os.path.join(os.path.dirname(out), "tfopt_fitanalysis")
+        tfopt_fit_analysis(prob, res, adir)
+        logger.info(f"[tfopt:{args.mode}] fit-analysis panels -> {adir}")
     logger.info(f"[tfopt:{args.mode}] loss={res.loss:.6g} -> {out}")
 
 
@@ -156,6 +162,12 @@ def cmd_kinopt(args):
         res = run_local(prob, loss_type=loss_type)
     out = os.path.join(data_dir, sec.get("out_file", "kinopt_results.xlsx"))
     export_kinopt_results(out, prob, res, meta)
+    if bool(sec.get("fit_analysis", True)):
+        from phoskintime_tpu.analysis.fitpanels import kinopt_fit_analysis
+
+        adir = os.path.join(os.path.dirname(out), "kinopt_fitanalysis")
+        kinopt_fit_analysis(prob, res, adir, meta)
+        logger.info(f"[kinopt:{args.mode}] fit-analysis panels -> {adir}")
     logger.info(f"[kinopt:{args.mode}] loss={res.loss:.6g} feasible="
                 f"{res.feasible} -> {out}")
 

@@ -167,6 +167,47 @@ class TestKinoptLossVariants:
             assert v1 > v0
 
 
+class TestFitAnalysisPanels:
+    def test_kinopt_full_panel_suite(self, tmp_path):
+        import os
+
+        from phoskintime_tpu.analysis.fitpanels import kinopt_fit_analysis
+
+        prob, a_true, b_true = kin_problem()
+        res = kin_local(prob, n_starts=4, steps=200, seed=0)
+        out = kinopt_fit_analysis(prob, res, str(tmp_path))
+        # reference postfit.py panel set
+        for f in ["Goodness_of_Fit.png", "kld.png", "PCA.png",
+                  "distribution_parameters.png", "boxplot_parameters.png",
+                  "cdf_parameters.png", "violin_parameters.png",
+                  "time_residuals.png", "variance_residuals.png",
+                  "error_trends.png", "residual_profiles.png",
+                  "important_connections.png"]:
+            assert os.path.getsize(tmp_path / f) > 500, f
+        assert os.path.getsize(tmp_path / "important_connections.csv") > 50
+        html = open(out["sankey"]).read()
+        assert "<svg" in html and "path" in html
+        # ribbons carry the kinase -> substrate flows
+        assert "K" in html and "→" in html
+
+    def test_tfopt_full_panel_suite(self, tmp_path):
+        import os
+
+        from phoskintime_tpu.analysis.fitpanels import tfopt_fit_analysis
+
+        prob, a_true, b_true = tf_problem()
+        res = tf_local(prob, n_starts=4, steps=200, seed=0)
+        out = tfopt_fit_analysis(prob, res, str(tmp_path))
+        for f in ["Goodness_of_Fit.png", "kld.png", "PCA.png",
+                  "time_residuals.png", "network_sankey.html"]:
+            assert os.path.getsize(tmp_path / f) > 500, f
+        # per-mRNA alpha strips + per-TF beta bars (tfopt helper.py:46-135)
+        assert len(out["alpha_strips"]) == prob.n_genes
+        assert len(out["beta_bars"]) == prob.n_TF
+        for p in out["alpha_strips"] + out["beta_bars"]:
+            assert os.path.getsize(p) > 500
+
+
 class TestResultApps:
     def test_kinopt_app(self, tmp_path):
         from phoskintime_tpu.report import render_kinopt_app
