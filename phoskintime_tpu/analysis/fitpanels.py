@@ -117,6 +117,8 @@ def pca_tsne_plots(est_df, out_dir, group_col="Gene"):
 
     _, _, Vt = np.linalg.svd(X, full_matrices=False)
     Z = X @ Vt[:2].T
+    if Z.shape[1] < 2:  # single profile: pad PC2 with zeros
+        Z = np.pad(Z, ((0, 0), (0, 2 - Z.shape[1])))
     paths = []
     fig, ax = plt.subplots(figsize=(7, 6))
     for g in uniq:

@@ -102,7 +102,15 @@ def _ode_bounds(cfg_ode: dict, args) -> dict:
 def cmd_prep(args):
     from phoskintime_tpu.io.preprocess import run_cleanup
 
-    run_cleanup(args.base_dir, args.out_dir or ".")
+    # default the output to the configured data_dir so the downstream
+    # stages (tfopt/kinopt/model read from [paths].data_dir) see the
+    # freshly prepped input1..4.csv without an explicit --out-dir
+    out_dir = args.out_dir
+    if out_dir is None:
+        sec = load(None, "paths", args.config)
+        out_dir = os.path.join(sec["_root"], sec.get("data_dir", "."))
+        os.makedirs(out_dir, exist_ok=True)
+    run_cleanup(args.base_dir, out_dir)
 
 
 def cmd_tfopt(args):

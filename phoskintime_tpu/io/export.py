@@ -276,6 +276,410 @@ def export_gene_results(path, gene_results: dict):
     return w.save()
 
 
+def export_S_rates(system, params, output_dir,
+                   filename="S_rates_picked.csv", long=True):
+    """Per-site phosphorylation drive S(t) = W . (K(t) * c_k) at the
+    optimized parameters, one value per (site, kinase-grid bin).
+
+    Spec: reference ``global_model/export.py:1256-1320`` (export_S_rates) —
+    sparse CSR W dot dense K matrix there; here ONE dense einsum over the
+    padded (N, Smax, K) tensor, then a flat-site gather back to the
+    reference's (protein, psite) row order.
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    topo = system.topo
+    ck = np.asarray(params["c_k"], float)
+    K_scaled = np.asarray(system.Kmat, float) * ck[:, None]      # (K, n_bins)
+    W = np.asarray(system.topo.W_pad, float)                     # (N, Smax, K)
+    S_pad = np.einsum("nsk,kt->nst", W, K_scaled)                # (N, Smax, T)
+    times = np.asarray(system.kin_grid, float)
+
+    proteins, psites, rows = [], [], []
+    for i, p in enumerate(topo.proteins):
+        for s_idx, s in enumerate(topo.sites[i]):
+            proteins.append(p)
+            psites.append(s)
+            rows.append(S_pad[i, s_idx])
+    S_mat = (np.stack(rows) if rows
+             else np.zeros((0, len(times))))                      # (sites, T)
+
+    if long:
+        n_sites, n_bins = S_mat.shape
+        df = pd.DataFrame({
+            "protein": np.repeat(np.array(proteins, dtype=object), n_bins),
+            "psite": np.repeat(np.array(psites, dtype=object), n_bins),
+            "time": np.tile(times, n_sites),
+            "S": S_mat.reshape(-1),
+        })
+    else:
+        df = pd.DataFrame(S_mat, columns=[f"S_t{t:g}" for t in times])
+        df.insert(0, "psite", psites)
+        df.insert(0, "protein", proteins)
+    out_path = os.path.join(output_dir, filename)
+    df.to_csv(out_path, index=False)
+    logger.info(f"[Export] Saved S rates to: {out_path}")
+    return df
+
+
+def plot_s_rates_report(csv_path, out_pdf, *, log_x=True,
+                        top_k_sites_per_protein=24, max_sites_per_page=12,
+                        ncols=3, heatmap_per_protein=True,
+                        heatmap_cap_sites=80, dpi=150):
+    """Multi-page PDF report over the S-rate CSV: a global AUC top-sites
+    bar, an early-vs-late signaling scatter, then per-protein heatmaps +
+    paginated small-multiples of the top-AUC sites.
+
+    Spec: reference ``global_model/export.py:1321-1570``
+    (plot_s_rates_report)."""
+    import math
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    df = pd.read_csv(csv_path)
+    df = df.dropna(subset=["protein", "psite", "time", "S"])
+    df = (df.groupby(["protein", "psite", "time"], as_index=False)["S"]
+          .mean().sort_values(["protein", "psite", "time"]))
+
+    # AUC ranking per (protein, psite)
+    auc_rows = []
+    for (p, s), g in df.groupby(["protein", "psite"]):
+        t = g["time"].to_numpy(float)
+        y = g["S"].to_numpy(float)
+        auc_rows.append((p, s, float(np.trapezoid(y, t)) if t.size > 1
+                         else float(y[0]) if y.size else 0.0))
+    auc_df = pd.DataFrame(auc_rows, columns=["protein", "psite", "AUC"])
+    auc_df.sort_values("AUC", ascending=False, inplace=True)
+
+    early_cut, late_cut = 2.0, min(120.0, float(df["time"].max()))
+    early = (df[df["time"] <= early_cut]
+             .groupby(["protein", "psite"])["S"].mean().rename("early_S"))
+    late = (df[df["time"] >= late_cut]
+            .groupby(["protein", "psite"])["S"].mean().rename("late_S"))
+    el = pd.concat([early, late], axis=1).dropna().reset_index()
+
+    def _xscale(ax):
+        if log_x:
+            ax.set_xscale("symlog" if (df["time"] == 0).any() else "log")
+
+    out_pdf = str(out_pdf)
+    os.makedirs(os.path.dirname(out_pdf) or ".", exist_ok=True)
+    with PdfPages(out_pdf) as pdf:
+        # page 1: global AUC top sites
+        top_n = min(30, len(auc_df))
+        top = auc_df.head(top_n)
+        labels = (top["protein"].astype(str) + " "
+                  + top["psite"].astype(str)).tolist()
+        fig, ax = plt.subplots(figsize=(11, 0.35 * top_n + 2.5))
+        ax.barh(range(top_n)[::-1], top["AUC"].to_numpy()[::-1])
+        ax.set_yticks(range(top_n)[::-1])
+        ax.set_yticklabels(labels[::-1], fontsize=8)
+        ax.set_xlabel("AUC of S over time")
+        ax.set_title(f"Top {top_n} sites by total signaling (AUC)")
+        ax.grid(True, axis="x", alpha=0.25)
+        fig.tight_layout()
+        pdf.savefig(fig, dpi=dpi)
+        plt.close(fig)
+
+        # page 2: early vs late scatter
+        if not el.empty:
+            fig, ax = plt.subplots(figsize=(7.5, 6.5))
+            x, y = el["early_S"].to_numpy(float), el["late_S"].to_numpy(float)
+            ax.scatter(x, y, s=20, alpha=0.7)
+            lo, hi = float(min(x.min(), y.min())), float(max(x.max(), y.max()))
+            ax.plot([lo, hi], [lo, hi], ls="--", lw=1)
+            ax.set_xlabel(f"Early mean S (t <= {early_cut})")
+            ax.set_ylabel(f"Late mean S (t >= {late_cut})")
+            ax.set_title("Early vs Late signaling per site")
+            ax.grid(True, alpha=0.25)
+            fig.tight_layout()
+            pdf.savefig(fig, dpi=dpi)
+            plt.close(fig)
+
+        # per-protein pages
+        for prot, sub in df.groupby("protein", sort=True):
+            ranked = auc_df[auc_df["protein"] == prot]["psite"].tolist()
+            if heatmap_per_protein and ranked:
+                sites = ranked[:heatmap_cap_sites]
+                piv = (sub[sub["psite"].isin(sites)]
+                       .pivot(index="psite", columns="time", values="S")
+                       .reindex(sites))
+                piv = piv.reindex(sorted(piv.columns), axis=1)
+                mat = piv.to_numpy(float)
+                fig, ax = plt.subplots(
+                    figsize=(10.5, max(3.5, 0.18 * mat.shape[0])))
+                im = ax.imshow(mat, aspect="auto", interpolation="nearest")
+                ax.set_title(f"{prot} — heatmap (top {len(sites)} sites by AUC)")
+                ax.set_yticks(np.arange(len(piv.index)))
+                ax.set_yticklabels(piv.index.tolist(), fontsize=7)
+                ax.set_xticks(np.arange(len(piv.columns)))
+                ax.set_xticklabels([str(c) for c in piv.columns],
+                                   rotation=45, ha="right", fontsize=8)
+                fig.colorbar(im, ax=ax, label="S")
+                fig.tight_layout()
+                pdf.savefig(fig, dpi=dpi)
+                plt.close(fig)
+
+            chunked = ranked[:top_k_sites_per_protein]
+            pages = max(1, math.ceil(len(chunked) / max_sites_per_page))
+            for page in range(pages):
+                chunk = chunked[page * max_sites_per_page:
+                                (page + 1) * max_sites_per_page]
+                if not chunk:
+                    continue
+                nrows = math.ceil(len(chunk) / ncols)
+                fig, axes = plt.subplots(nrows, ncols,
+                                         figsize=(3.8 * ncols, 2.7 * nrows),
+                                         squeeze=False)
+                axes = axes.ravel()
+                for ax_i, site in enumerate(chunk):
+                    g = sub[sub["psite"] == site]
+                    ax = axes[ax_i]
+                    ax.plot(g["time"].to_numpy(float), g["S"].to_numpy(float),
+                            marker="o", lw=1.5, ms=3)
+                    _xscale(ax)
+                    ax.set_title(f"{prot}  {site}", fontsize=9)
+                    ax.grid(True, alpha=0.25)
+                    if ax_i % ncols == 0:
+                        ax.set_ylabel("S")
+                    ax.set_xlabel("time")
+                for j in range(len(chunk), len(axes)):
+                    axes[j].axis("off")
+                fig.suptitle(f"{prot} — site time series"
+                             + (f" — page {page + 1}/{pages}"
+                                if pages > 1 else ""), fontsize=12)
+                fig.tight_layout(rect=[0, 0, 1, 0.96])
+                pdf.savefig(fig, dpi=dpi)
+                plt.close(fig)
+    logger.info(f"[Export] Saved S-rate report to: {out_pdf}")
+    return out_pdf
+
+
+# ---------------------------------------------------------------------------
+# convergence history + animation
+# ---------------------------------------------------------------------------
+
+def process_convergence_history(history, output_dir):
+    """Per-generation best-objective history -> CSV + log-scale plot.
+
+    Spec: reference ``global_model/export.py:1573-1634``
+    (process_convergence_history); our GA history is already the
+    (gen, F_min, F_mean) triple stream from the UNSGA3 loop, so no
+    pymoo-result spelunking is needed.
+    """
+    if not history:
+        logger.info("[Export] no convergence history; skipping")
+        return None
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    gens = [int(h[0]) for h in history]
+    mins = np.stack([np.atleast_1d(np.asarray(h[1], float)) for h in history])
+    cols = ["min_prot_mse", "min_rna_mse", "min_phos_mse"][: mins.shape[1]]
+    df = pd.DataFrame(mins, columns=cols)
+    df.insert(0, "gen", gens)
+    os.makedirs(output_dir, exist_ok=True)
+    df.to_csv(os.path.join(output_dir, "convergence_history.csv"), index=False)
+
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for c, lbl in zip(cols, ["Protein MSE", "RNA MSE", "Phospho MSE"]):
+        ax.plot(df["gen"], df[c], label=lbl)
+    ax.set_yscale("log")
+    ax.set_title("Convergence History (Best Error per Gen)")
+    ax.set_xlabel("Generation")
+    ax.set_ylabel("MSE (Log Scale)")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    fig.savefig(os.path.join(output_dir, "convergence_plot.png"), dpi=150)
+    plt.close(fig)
+    logger.info("[Export] Saved convergence history and plot.")
+    return df
+
+
+def create_convergence_video(pop_history, pareto_F, output_dir,
+                             filename="optimization_history.mp4",
+                             max_frames=60, fps=5, dpi=110):
+    """Animate the population's objective cloud generation by generation,
+    ghosting the final Pareto front; MP4 via ffmpeg with a GIF/pillow
+    fallback.
+
+    Spec: reference ``global_model/export.py:146-219``
+    (create_convergence_video). ``pop_history`` is a list of
+    ``(gen, F (P, 3))`` snapshots collected by the fit callback.
+    """
+    if not pop_history:
+        logger.info("[Export] no population history; skipping video")
+        return None
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    frames = pop_history
+    if len(frames) > max_frames:
+        step = int(np.ceil(len(frames) / max_frames))
+        frames = frames[::step] + ([pop_history[-1]]
+                                   if pop_history[-1] is not frames[-1] else [])
+
+    all_F = np.vstack([np.asarray(F, float) for _, F in frames])
+    min_f, max_f = all_F.min(axis=0), all_F.max(axis=0)
+    span = np.maximum(max_f - min_f, 1e-12)
+    pare = np.asarray(pareto_F, float) if pareto_F is not None else None
+
+    fig = plt.figure(figsize=(8, 7))
+    ax = fig.add_subplot(111, projection="3d")
+
+    def update(k):
+        ax.clear()
+        gen, F = frames[k]
+        F = np.asarray(F, float)
+        ax.scatter(F[:, 0], F[:, 1], F[:, 2], c="blue", s=10, alpha=0.6,
+                   label="Population")
+        if pare is not None and pare.shape[1] >= 3:
+            ax.scatter(pare[:, 0], pare[:, 1], pare[:, 2], c="red", s=5,
+                       alpha=0.15)
+        ax.set_title(f"Optimization History - Gen {gen}")
+        ax.set_xlabel("Prot MSE")
+        ax.set_ylabel("RNA MSE")
+        ax.set_zlabel("Phospho MSE")
+        ax.set_xlim(min_f[0], min_f[0] + span[0])
+        ax.set_ylim(min_f[1], min_f[1] + span[1])
+        ax.set_zlim(min_f[2], min_f[2] + span[2])
+        ax.view_init(elev=45, azim=45)
+
+    ani = animation.FuncAnimation(fig, update, frames=len(frames),
+                                  interval=200)
+    os.makedirs(output_dir, exist_ok=True)
+    save_path = os.path.join(output_dir, filename)
+    try:
+        ani.save(save_path, writer="ffmpeg", fps=fps, dpi=dpi)
+    except Exception:
+        save_path = save_path.rsplit(".", 1)[0] + ".gif"
+        ani.save(save_path, writer="pillow", fps=fps, dpi=dpi)
+    plt.close(fig)
+    logger.info(f"[Export] Saved convergence video: {save_path}")
+    return save_path
+
+
+# ---------------------------------------------------------------------------
+# per-gene observed-vs-predicted time series
+# ---------------------------------------------------------------------------
+
+def save_gene_timeseries_plots(gene, df_prot_obs, df_prot_pred, df_rna_obs,
+                               df_rna_pred, df_phos_obs, df_phos_pred,
+                               output_dir, filename_prefix="ts", dpi=150,
+                               phos_mode="per_psite"):
+    """3-panel observed-vs-predicted time series for one protein: Protein,
+    mRNA, and Phospho (mean or per-psite lines).
+
+    Spec: reference ``global_model/export.py:979-1171``
+    (save_gene_timeseries_plots). Predicted frames carry ``pred_fc``
+    (the simulate_and_measure schema); observed carry ``fc``.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.colors as mcolors
+    import matplotlib.pyplot as plt
+
+    def sel(df, col):
+        if df is None or len(df) == 0:
+            return pd.DataFrame(columns=["time", col])
+        out = df[df["protein"] == gene].copy()
+        out["time"] = pd.to_numeric(out["time"], errors="coerce")
+        out[col] = pd.to_numeric(out[col], errors="coerce")
+        return out.dropna(subset=["time", col]).sort_values("time")
+
+    def lighten(color, amount=0.65):
+        r, g, b = mcolors.to_rgb(color)
+        return tuple((1 - amount) * c + amount for c in (r, g, b))
+
+    p_obs, p_pre = sel(df_prot_obs, "fc"), sel(df_prot_pred, "pred_fc")
+    r_obs, r_pre = sel(df_rna_obs, "fc"), sel(df_rna_pred, "pred_fc")
+    ph_obs, ph_pre = sel(df_phos_obs, "fc"), sel(df_phos_pred, "pred_fc")
+    if all(len(d) == 0 for d in (p_obs, p_pre, r_obs, r_pre, ph_obs, ph_pre)):
+        return None
+
+    fig, (ax_p, ax_r, ax_ph) = plt.subplots(1, 3, figsize=(18, 5.5),
+                                            sharey=True)
+    for ax, obs, pre, col, title in [
+            (ax_p, p_obs, p_pre, "C0", "Protein"),
+            (ax_r, r_obs, r_pre, "C1", "mRNA")]:
+        if len(obs):
+            ax.plot(obs["time"], obs["fc"], marker="s", lw=1, label="obs",
+                    color=lighten(col), alpha=0.6)
+        if len(pre):
+            ax.plot(pre["time"], pre["pred_fc"], lw=2, label="pred",
+                    color=col)
+        ax.set_title(f"{gene} — {title}")
+        ax.set_xlabel("Time")
+        ax.set_ylabel("FC")
+        ax.grid(True, alpha=0.3)
+        ax.legend()
+
+    ax_ph.set_title(f"{gene} — Phosphorylation")
+    ax_ph.set_xlabel("Time")
+    ax_ph.grid(True, alpha=0.3)
+    if len(ph_obs) or len(ph_pre):
+        if phos_mode == "mean":
+            if len(ph_obs):
+                m = ph_obs.groupby("time", as_index=False)["fc"].mean()
+                ax_ph.plot(m["time"], m["fc"], marker="s", lw=1,
+                           label="obs (mean)", color=lighten("C2"), alpha=0.6)
+            if len(ph_pre):
+                m = ph_pre.groupby("time", as_index=False)["pred_fc"].mean()
+                ax_ph.plot(m["time"], m["pred_fc"], lw=2, label="pred (mean)",
+                           color="C2")
+        else:
+            psites = sorted(set(ph_obs.get("psite", pd.Series(dtype=object)))
+                            | set(ph_pre.get("psite", pd.Series(dtype=object))))
+            for ps in psites:
+                col = f"C{hash(ps) % 10}"
+                so = ph_obs[ph_obs.get("psite") == ps] if len(ph_obs) else ph_obs
+                sp = ph_pre[ph_pre.get("psite") == ps] if len(ph_pre) else ph_pre
+                if len(so):
+                    ax_ph.plot(so["time"], so["fc"], marker="s", lw=1,
+                               label=f"obs {ps}", color=lighten(col), alpha=0.6)
+                if len(sp):
+                    ax_ph.plot(sp["time"], sp["pred_fc"], lw=2,
+                               label=f"pred {ps}", color=col)
+        ax_ph.legend(ncol=2, fontsize=7)
+
+    fig.suptitle(f"Observed vs Predicted Time Series — {gene}", y=0.995)
+    fig.tight_layout()
+    os.makedirs(output_dir, exist_ok=True)
+    out_path = os.path.join(output_dir, f"{filename_prefix}_{gene}.png")
+    fig.savefig(out_path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def save_all_gene_timeseries(df_prot_obs, df_prot_pred, df_rna_obs,
+                             df_rna_pred, df_phos_obs, df_phos_pred,
+                             output_dir, **kw):
+    """Run :func:`save_gene_timeseries_plots` for every protein appearing
+    in any modality (reference runner loops this per gene)."""
+    genes = set()
+    for df in (df_prot_obs, df_prot_pred, df_rna_obs, df_rna_pred,
+               df_phos_obs, df_phos_pred):
+        if df is not None and len(df):
+            genes |= set(df["protein"].astype(str))
+    paths = []
+    for g in sorted(genes):
+        p = save_gene_timeseries_plots(g, df_prot_obs, df_prot_pred,
+                                       df_rna_obs, df_rna_pred, df_phos_obs,
+                                       df_phos_pred, output_dir, **kw)
+        if p:
+            paths.append(p)
+    return paths
+
+
 def export_param_correlations(path, pareto_X, slices, topo,
                               heatmap_path=None):
     """Parameter correlation matrix across the Pareto ensemble — the

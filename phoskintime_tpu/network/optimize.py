@@ -55,6 +55,7 @@ class GlobalFitResult:
     frechet_scores: np.ndarray
     history: list
     n_evals: int
+    pop_history: list = None      # (gen, F) population snapshots for the video
 
 
 def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
@@ -101,7 +102,12 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
             logger.info(f"[Fit] resuming from {checkpoint_path} "
                         f"(gen {ck.start_gen})")
 
+    # population-objective snapshots feed the convergence animation
+    # (reference export.py:146 pulls these from pymoo's save_history)
+    pop_history: list = []
+
     def cb(gen, X, F):
+        pop_history.append((gen, np.asarray(F, float).copy()))
         if ck is not None:
             ck(gen, X, F)
         if callback is not None:
@@ -161,7 +167,8 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
             t_points, lambdas)
 
     return GlobalFitResult(res.X, res.F, res.pareto_X, res.pareto_F,
-                           best_idx, scores, res.history, res.n_evals)
+                           best_idx, scores, res.history, res.n_evals,
+                           pop_history)
 
 
 # ---------------------------------------------------------------------------

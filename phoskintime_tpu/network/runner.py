@@ -160,6 +160,27 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
                               heatmap_path=os.path.join(out_dir,
                                                         "param_correlations.png"))
 
+    # S-rate drive export + PDF report (reference export.py:1256-1570)
+    from phoskintime_tpu.io.export import (
+        create_convergence_video,
+        export_S_rates,
+        plot_s_rates_report,
+        process_convergence_history,
+        save_all_gene_timeseries,
+    )
+
+    export_S_rates(system, params_best, out_dir)
+    if topo.total_sites:
+        plot_s_rates_report(os.path.join(out_dir, "S_rates_picked.csv"),
+                            os.path.join(out_dir, "S_rates_report.pdf"))
+    # convergence history CSV/plot + population animation
+    process_convergence_history(res.history, out_dir)
+    if getattr(res, "pop_history", None):
+        create_convergence_video(res.pop_history, res.pareto_F, out_dir)
+    # per-gene observed-vs-predicted 3-panel time series
+    save_all_gene_timeseries(df_prot, dfp_fit, df_rna, dfr_fit, df_pho,
+                             dfph_fit, os.path.join(out_dir, "gene_timeseries"))
+
     # ---- 9. sensitivity ----------------------------------------------------
     sens = None
     if cfg.sensitivity_analysis:
