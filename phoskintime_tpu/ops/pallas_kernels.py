@@ -1,18 +1,37 @@
 """Pallas TPU kernels for the hot irregular ops.
 
-Two kernels back the BASELINE north-star items ("Newton/tridiagonal Pallas
-kernels", SURVEY.md §7):
+The production kernel backing the BASELINE north-star item
+("Newton/tridiagonal Pallas kernels", SURVEY.md §7):
 
 * :func:`thomas_pallas` — batched tridiagonal (Thomas) solve. Layout puts
   the chain dimension on sublanes and the batch on lanes, so the
   forward/backward sweeps are sequential over <= ~tens of rows while every
   lane (batch element: protein chain or ESDIRK stage system) advances in
-  parallel on the VPU.
+  parallel on the VPU. Measured ~600x a lax.scan sweep at production
+  batch sizes — this is the kernel the "Pallas kernels" claim rests on.
+
+DOCUMENTED EXPERIMENT (not routed to in production):
+
 * :func:`hypercube_flux_pallas` — the combinatorial-mechanism state-flux
-  update ``dX[m] = sum_j +/- rate * X[m ^ (1<<j)] ...``. The XOR neighbor
-  access is a *static lane permutation* per site, so each site's
-  contribution is one shuffled fused-multiply-add over the (protein-block,
-  state) tile — no gather engine, no HBM round trips between sites.
+  update ``dX[m] = sum_j +/- rate * X[m ^ (1<<j)] ...`` as static lane
+  rolls. Correct (tested vs the jnp reference), but benchmarked SLOWER
+  than the XLA gather path at every production size on v5e
+  (smax=4, f32; 50-rep steady-state medians):
+
+      B=P*N    pallas      xla    pallas/xla
+         40    978 us   730 us      0.75x
+        400   1434 us   667 us      0.46x
+       4096   1847 us   846 us      0.46x
+      40960   1833 us   640 us      0.35x
+     327680  15341 us   951 us      0.06x
+
+  Root cause: the (N, Mmax=16) tile leaves 112/128 lanes idle and the
+  8-row grid serializes large batches; the XLA gather fuses into the
+  surrounding RHS for free. The model-2 production path also only needs
+  this flux inside per-bucket jvp block extraction (network/expo.py), not
+  in the integration scan, so even a winning kernel would be cold. Kept
+  as a worked example of lane-permutation kernels; do NOT route to it
+  without re-measuring.
 
 Both have jnp reference fallbacks (used on CPU and checked for
 equivalence in the test suite via interpret mode).
