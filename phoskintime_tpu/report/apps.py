@@ -65,15 +65,20 @@ def render_kinopt_app(prob, result, out_dir: str, meta=None,
     plot_network_dag(edges, os.path.join(out_dir, "network_dag.png"),
                      title="kinase -> site control logic (top edges)")
 
-    # exact knockout preview: zero each kinase's alpha entries, re-predict
+    # exact knockout previews: zero each kinase's alpha entries, re-predict —
+    # ONE vmapped batch over all K scenarios instead of a Python loop
+    import jax
+
     kn = prob.kinase_names or [f"K{j}" for j in range(prob.n_k)]
+    alpha = jnp.asarray(result.alpha)
+    kin_idx = jnp.asarray(prob.gp_kin_idx)
+    beta = jnp.asarray(result.beta)
+    est_ko = np.asarray(jax.vmap(
+        lambda j: predict(prob, alpha * (kin_idx != j), beta)
+    )(jnp.arange(len(kn))))                                  # (K, C, T)
     ko_rows = []
-    alpha = np.asarray(result.alpha)
     for j, k in enumerate(kn):
-        a_ko = alpha * (np.asarray(prob.gp_kin_idx) != j)
-        est_ko = np.asarray(predict(prob, jnp.asarray(a_ko),
-                                    jnp.asarray(result.beta)))
-        delta = np.abs(est_ko - est)
+        delta = np.abs(est_ko[j] - est)
         i_top = int(np.argmax(delta.mean(axis=1)))
         ko_rows.append({"kinase": k,
                         "total_effect": float(delta.sum()),
@@ -81,6 +86,19 @@ def render_kinopt_app(prob, result, out_dir: str, meta=None,
                         "most_affected": names[i_top]})
     ko_df = pd.DataFrame(ko_rows).sort_values(
         "total_effect", ascending=False).reset_index(drop=True)
+
+    # interactive single-file explorer (reference app/kinopt.py's curve
+    # browser / knockout preview / gravis network, redelivered dependency-
+    # free — see report/interactive.py)
+    from phoskintime_tpu.report.interactive import write_interactive_explorer
+
+    write_interactive_explorer(
+        os.path.join(out_dir, "kinopt_interactive.html"),
+        title="kinopt interactive explorer",
+        times=np.arange(1, len(tcols) + 1, dtype=float),
+        curve_names=names, obs=obs, est=est,
+        ko_names=kn, ko_est=est_ko, network_edges=edges,
+        source_layer_names=set(kn))
 
     tables = {
         "Fit statistics": pd.DataFrame([_fit_stats(obs, est)]),
@@ -128,19 +146,33 @@ def render_tfopt_app(prob, result, out_dir: str,
     plot_network_dag(edges, os.path.join(out_dir, "network_dag.png"),
                      title="TF -> mRNA control logic (top edges)")
 
+    import jax
+
     tfs = prob.tf_ids or [f"TF{i}" for i in range(prob.n_TF)]
-    alpha = np.asarray(result.alpha)
+    alpha = jnp.asarray(result.alpha)
+    regs = jnp.asarray(prob.regulators)
+    beta = jnp.asarray(result.beta)
+    est_ko = np.asarray(jax.vmap(
+        lambda r: predict(prob, alpha * (regs != r), beta)
+    )(jnp.arange(len(tfs))))                                 # (K, C, T)
     ko_rows = []
     for r, tf in enumerate(tfs):
-        a_ko = alpha * (np.asarray(prob.regulators) != r)
-        est_ko = np.asarray(predict(prob, jnp.asarray(a_ko),
-                                    jnp.asarray(result.beta)))
-        delta = np.abs(est_ko - est)
+        delta = np.abs(est_ko[r] - est)
         i_top = int(np.argmax(delta.mean(axis=1)))
         ko_rows.append({"tf": tf, "total_effect": float(delta.sum()),
                         "most_affected": genes[i_top]})
     ko_df = pd.DataFrame(ko_rows).sort_values(
         "total_effect", ascending=False).reset_index(drop=True)
+
+    from phoskintime_tpu.report.interactive import write_interactive_explorer
+
+    write_interactive_explorer(
+        os.path.join(out_dir, "tfopt_interactive.html"),
+        title="tfopt interactive explorer",
+        times=np.arange(1, len(tcols) + 1, dtype=float),
+        curve_names=genes, obs=obs, est=est,
+        ko_names=tfs, ko_est=est_ko, network_edges=edges,
+        source_layer_names=set(tfs))
 
     tables = {
         "Fit statistics": pd.DataFrame([_fit_stats(obs, est)]),

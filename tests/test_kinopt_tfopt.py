@@ -221,6 +221,18 @@ class TestResultApps:
         import os
         for f in ["identity_band.png", "breadth_load.png", "network_dag.png"]:
             assert os.path.getsize(tmp_path / f) > 1000
+        # interactive explorer: embedded data + the three JS components
+        ihtml = open(tmp_path / "kinopt_interactive.html").read()
+        assert "__FITDATA__" in ihtml
+        import json as _json
+        payload = ihtml.split("window.__FITDATA__ = ", 1)[1]
+        data = _json.loads(payload.split(";</script>", 1)[0])
+        assert len(data["curves"]) == prob.n_gp
+        assert len(data["knockouts"]) == prob.n_k
+        # knockout entries carry exact re-predicted series per top target
+        k0 = data["knockouts"][0]
+        assert len(k0["top"][0]["ko"]) == len(data["times"])
+        assert data["network"]["edges"] and data["network"]["nodes"]
 
     def test_tfopt_app(self, tmp_path):
         from phoskintime_tpu.report import render_tfopt_app
@@ -232,3 +244,7 @@ class TestResultApps:
         assert "TF network readout" in html
         # knockout preview must rank a real TF with nonzero effect first
         assert "Knockout preview" in html
+        import os
+        ihtml = open(os.path.join(str(tmp_path),
+                                  "tfopt_interactive.html")).read()
+        assert "__FITDATA__" in ihtml and "Knockout simulator" in ihtml
