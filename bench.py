@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-POP = 2048
+POP = 8192  # throughput peak on v5e (pop-scaling sweep in RESULTS_r2)
 N_PROTEINS = 40
 N_KINASES = 12
 
@@ -112,15 +112,23 @@ def accuracy_vs_lsoda(b, Y_lsoda):
     """
     import jax.numpy as jnp
 
-    from phoskintime_tpu.network.expo import exponential_simulate
+    from phoskintime_tpu.network.expo import exponential_simulate_batched
     from phoskintime_tpu.network.simulate import (extract_observables,
                                                   fold_changes)
 
     system = b["system"]
     times = np.asarray(b["grid"], float)
-    p = {k: jnp.asarray(v) for k, v in b["true"].items()}
-    res = exponential_simulate(system, p, jnp.asarray(times))
-    assert bool(res.success), "ETD2RK reported failure at true params"
+    # the BATCHED path (P=1) — the exact code the throughput metric runs,
+    # including the Pallas propagator-table kernel on TPU
+    p_b = {k: jnp.asarray(v, jnp.float32)[None] for k, v in b["true"].items()}
+    ys, success = exponential_simulate_batched(system, p_b, times)
+    assert bool(success[0]), "ETD2RK reported failure at true params"
+
+    class _Res:
+        pass
+
+    res = _Res()
+    res.ys = ys[0]
 
     msk = np.asarray(system.topo.site_mask(), bool)
 
@@ -144,7 +152,7 @@ def main():
     print(json.dumps({
         "metric": "global_model_objective_evals_per_s",
         "value": round(rate, 2),
-        "unit": "evals/s (pop=2048, N=40 proteins, ETD2RK + 3-mod loss)",
+        "unit": "evals/s (pop=8192, N=40 proteins, ETD2RK + 3-mod loss)",
         "vs_baseline": round(rate / baseline, 3),
         "accuracy_rel_err": round(acc, 6),
     }))

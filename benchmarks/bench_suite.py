@@ -21,7 +21,9 @@ sys.path.insert(0, ".")
 
 
 def section(name, value, unit, extra=None):
-    out = {"bench": name, "value": round(float(value), 3), "unit": unit}
+    # 6 significant digits, not fixed decimals — tiny precision deltas
+    # (1e-4..1e-6) must not round to 0.0
+    out = {"bench": name, "value": float(f"{float(value):.6g}"), "unit": unit}
     if extra:
         out.update(extra)
     print(json.dumps(out), flush=True)

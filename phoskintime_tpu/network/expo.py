@@ -52,6 +52,16 @@ import numpy as np
 from phoskintime_tpu.ops.integrators import ODEResult
 
 
+def _phi_pallas_ok(dtype) -> bool:
+    """Route the propagator-table build to the Pallas kernel on real TPU
+    backends (f32 only); CPU (tests, virtual meshes) and f64 use XLA."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat in ("tpu", "axon") and dtype == jnp.float32
+
+
 @lru_cache(maxsize=None)
 def _segment_plan(kin_grid: tuple, t_eval: tuple, substep: float,
                   early_t: float = 64.0, early_div: int = 4,
@@ -411,19 +421,37 @@ def exponential_simulate_batched(system, params_b, t_eval,
     u_h_j = jnp.asarray(u_h, dtype)
     binv_j = jnp.asarray(bucket_inv)
 
-    # one lane-parallel phi build per unique (bucket, h) pair, sequential
-    # over the ~14 pairs (a flat P*U*N batch OOMs at the 10k-candidate
-    # ensemble); the squaring ladder runs with a traced trip count — the
-    # batch-wide actual need (usually 5-12) instead of the static worst
-    # case, ~2x faster. (Python-unrolling the ladders fuses the math but
-    # blows XLA compile time to minutes and regresses runtime 5x at this
-    # operand size — measured, do not revisit.)
-    def phis_one(args):
-        slot, h_p = args
-        return _phi_vectors_lanes(L_lanes[slot],
-                                  jnp.broadcast_to(h_p, (P * N,)))
+    # one lane-parallel phi build per unique (bucket, h) pair. On TPU the
+    # whole scaling+Taylor+doubling pipeline runs as a Pallas kernel that
+    # keeps every intermediate in VMEM (ops/phi_pallas.py — the XLA
+    # version round-trips the (w, w, PN) carry through HBM each Horner
+    # term and ladder iteration, measured 32 ms of the 44 ms objective at
+    # pop 2048). CPU/f64 falls back to the XLA path, sequential over the
+    # ~14 pairs (a flat P*U*N batch OOMs at the 10k-candidate ensemble;
+    # its ladder runs a traced trip count — the batch-wide actual need
+    # instead of the static worst case).
+    if _phi_pallas_ok(dtype):
+        from phoskintime_tpu.ops.phi_pallas import (ladder_len,
+                                                    phi_vectors_pallas)
 
-    E_u, Phi1_u, Phi2_u = jax.lax.map(phis_one, (binv_j, u_h_j))
+        Es, P1s, P2s = [], [], []
+        for u in range(len(u_h)):
+            h_u = float(u_h[u])
+            E1, p11, p21 = phi_vectors_pallas(
+                L_lanes[int(bucket_inv[u])], h_u, ladder_len(w, h_u))
+            Es.append(E1)
+            P1s.append(p11)
+            P2s.append(p21)
+        E_u = jnp.stack(Es)
+        Phi1_u = jnp.stack(P1s)
+        Phi2_u = jnp.stack(P2s)
+    else:
+        def phis_one(args):
+            slot, h_p = args
+            return _phi_vectors_lanes(L_lanes[slot],
+                                      jnp.broadcast_to(h_p, (P * N,)))
+
+        E_u, Phi1_u, Phi2_u = jax.lax.map(phis_one, (binv_j, u_h_j))
     # E_u (U, w, w, PN); Phi*_u (U, w, PN); scan-step lookup is a
     # contiguous leading-axis slice
 

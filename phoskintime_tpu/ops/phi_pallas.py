@@ -1,0 +1,168 @@
+"""Pallas TPU kernel for the ETD2RK propagator-table build.
+
+The flagship objective's cost is NOT the segment scan — it is building
+the per-(bucket, h) propagator tables E = expm(Lh), p1 = h phi1(Lh) e0,
+p2 = h^2 phi2(Lh) e0 for every (member, protein) block: measured 38 ms
+of the 44 ms objective at pop 2048 (ablation, round 2). The XLA version
+(:func:`phoskintime_tpu.network.expo._phi_vectors_lanes`) round-trips the
+(w, w, P*N) carry through HBM at every Taylor/Horner term and every
+squaring-ladder iteration — ~1 GB of traffic per pair, 14 pairs.
+
+This kernel runs the ENTIRE scaling + Taylor + doubling ladder in VMEM:
+per grid tile it reads one (w, w, BLK) slab of L and writes E, p1, p2 —
+~33 MB total instead of ~1 GB. The ladder is unrolled to a STATIC
+per-pair trip count derived from the segment length and the bio-bound
+rate cap (same contract as the `unroll=` mode of `_phi_vectors_lanes`);
+lanes that need fewer squarings are masked per iteration, exactly like
+the XLA path.
+
+Math spec: `network/expo.py:_phi_vectors_lanes` (the doubling identities
+E(2h) = E^2, p1(2h) = (I+E)p1, p2(2h) = (I+E)p2 + h p1). Behavioral spec
+for the tables themselves: reference ``global_model/solvers.py`` +
+``jacspeedup.py`` integrate the same linear blocks step by step; here
+they are integrated exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# pre-squaring Taylor radius 0.25 at 8 terms reaches ~4e-10 — beyond f32
+_TAYLOR_TERMS = 8
+_RADIUS = 0.25
+# ladder sizing: ||L h||_inf <= RATE_CAP * w * h for softplus-bounded rates
+_RATE_CAP = 32.0
+
+
+def ladder_len(w: int, h: float, max_squarings: int = 24) -> int:
+    """Static squaring count covering ||Lh|| <= RATE_CAP * w * h."""
+    norm = max(_RATE_CAP * w * float(h), 1e-30)
+    need = int(np.ceil(np.log2(max(norm / _RADIUS, 1.0)))) + 1  # +1 headroom
+    return int(np.clip(need, 1, max_squarings))
+
+
+def _mm(x, y):
+    """(w, w, BLK) lane-resident block matmul as w broadcasts.
+
+    Written as slice-then-expand (NOT `x[:, j, None, :]`): mixed
+    int/None indexing lowers to an N-D gather, which Mosaic rejects.
+    """
+    w = x.shape[0]
+    acc = None
+    for j in range(w):
+        xj = x[:, j, :][:, None, :]                  # (w, 1, BLK)
+        yj = y[j][None]                              # (1, w, BLK)
+        t = xj * yj
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _mv(M, v):
+    """(w, w, BLK) x (w, BLK) -> (w, BLK)."""
+    return jnp.sum(M * v[None, :, :], axis=1)
+
+
+def _phi_kernel(ladder: int, w: int, L_ref, h_ref, E_ref, p1_ref, p2_ref):
+    L = L_ref[:]                                     # (w, w, BLK)
+    blk = L.shape[-1]
+    h = h_ref[0, 0]
+    A = L * h
+    # per-lane inf-norm -> squaring count s in [0, ladder]
+    norm = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0, keepdims=True)
+    s = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / _RADIUS))
+    s = jnp.clip(s, 0.0, float(ladder))              # (1, BLK)
+    scale = jnp.exp2(s)
+    A = A / scale[None]                              # (1,1,BLK) broadcast
+    hs = h / scale                                   # (1, BLK)
+
+    # NOTE: iota-built identity/e0 tensors may only be used ADDITIVELY —
+    # feeding them as a multiplicand into the lane matmul crashes the
+    # Mosaic layout pass ("limits[i] <= dim(i)"). The first Horner/series
+    # steps are peeled so every multiply sees computed data.
+    r = jax.lax.broadcasted_iota(jnp.int32, (w, w, blk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (w, w, blk), 1)
+    eye = (r == c).astype(L.dtype)
+
+    # E = expm(A) by Horner; first step mm(A/k, I) = A/k done directly
+    E = eye + A / float(_TAYLOR_TERMS)
+    for k in range(_TAYLOR_TERMS - 1, 0, -1):
+        E = eye + _mm(A / float(k), E)
+
+    # phi1/phi2 columns (remainder lives in slot 0 only);
+    # mv(A, e0) = A[:, 0, :] done as a slice
+    rr = jax.lax.broadcasted_iota(jnp.int32, (w, blk), 0)
+    e0 = (rr == 0).astype(L.dtype)
+    term = A[:, 0, :]
+    v1 = e0 + term / 2.0
+    v2 = e0 / 2.0 + term / 6.0
+    for k in range(2, _TAYLOR_TERMS + 1):
+        term = _mv(A, term) / float(k)
+        v1 = v1 + term / float(k + 1)
+        v2 = v2 + term / float((k + 1) * (k + 2))
+    p1 = v1 * hs
+    p2 = v2 * (hs * hs)
+
+    # doubling ladder, statically unrolled (a dynamic fori_loop trip
+    # count measured 30% SLOWER here — the loop carries lose fusion),
+    # per-lane masked — entirely in VMEM (this is the point of the
+    # kernel). Masked lanes stop squaring at their own s, which also
+    # protects their accuracy (every excess squaring doubles rounding).
+    hc = hs
+    for i in range(ladder):
+        go = (float(i) < s)                          # (1, BLK)
+        p2n = p2 + _mv(E, p2) + p1 * hc
+        p1n = p1 + _mv(E, p1)
+        En = _mm(E, E)
+        E = jnp.where(go[None], En, E)
+        p1 = jnp.where(go, p1n, p1)
+        p2 = jnp.where(go, p2n, p2)
+        hc = jnp.where(go, 2.0 * hc, hc)
+
+    E_ref[:] = E
+    p1_ref[:] = p1
+    p2_ref[:] = p2
+
+
+@partial(jax.jit, static_argnames=("ladder", "blk", "interpret"))
+def phi_vectors_pallas(L, h: float, ladder: int, blk: int = 2048,
+                       interpret: bool = False):
+    """E = expm(Lh), p1 = h phi1(Lh) e0, p2 = h^2 phi2(Lh) e0.
+
+    Args:
+      L: (w, w, B) lane-layout blocks (f32).
+      h: the segment length (uniform across lanes — one table per
+         unique (bucket, h) pair).
+      ladder: static squaring-ladder length (see :func:`ladder_len`).
+    Returns (E (w, w, B), p1 (w, B), p2 (w, B)).
+    """
+    w, _, B = L.shape
+    Bp = ((B + blk - 1) // blk) * blk
+    if Bp != B:
+        L = jnp.concatenate(
+            [L, jnp.zeros((w, w, Bp - B), L.dtype)], axis=-1)
+    h_arr = jnp.asarray([[h]], L.dtype)
+
+    grid = (Bp // blk,)
+    spec3 = pl.BlockSpec((w, w, blk), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((w, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    E, p1, p2 = pl.pallas_call(
+        partial(_phi_kernel, ladder, w),
+        out_shape=(jax.ShapeDtypeStruct((w, w, Bp), L.dtype),
+                   jax.ShapeDtypeStruct((w, Bp), L.dtype),
+                   jax.ShapeDtypeStruct((w, Bp), L.dtype)),
+        grid=grid,
+        in_specs=[spec3, pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)],
+        out_specs=(spec3, spec2, spec2),
+        interpret=interpret,
+    )(L, h_arr)
+    return E[..., :B], p1[..., :B], p2[..., :B]

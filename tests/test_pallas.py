@@ -60,3 +60,47 @@ class TestHypercubePallas:
         E = jnp.asarray(rng.uniform(0.1, 2.0, 5))
         dX = hypercube_flux_pallas(X, S, E, smax, interpret=True)
         np.testing.assert_allclose(np.asarray(dX).sum(axis=1), 0.0, atol=1e-10)
+
+
+class TestPhiTablesPallas:
+    """Propagator-table kernel vs the XLA reference ladder
+    (ops/phi_pallas.py; production route for the flagship objective)."""
+
+    def _blocks(self, B=640, w=7, seed=0):
+        rng = np.random.default_rng(seed)
+        L = rng.normal(0, 0.6, (w, w, B)).astype(np.float32)
+        for i in range(w):
+            L[i, i, :] = -rng.uniform(0.01, 25.0, B)
+        return jnp.asarray(L)
+
+    def test_matches_xla_ladder(self):
+        from phoskintime_tpu.network.expo import _phi_vectors_lanes
+        from phoskintime_tpu.ops.phi_pallas import (ladder_len,
+                                                    phi_vectors_pallas)
+
+        L = self._blocks()
+        B = L.shape[-1]
+        for h in [0.0625, 1.0, 16.0]:
+            lad = ladder_len(7, h)
+            E_p, p1_p, p2_p = phi_vectors_pallas(L, h, lad, blk=128,
+                                                 interpret=True)
+            E_x, p1_x, p2_x = _phi_vectors_lanes(
+                L, jnp.broadcast_to(jnp.float32(h), (B,)))
+            for a, b in [(E_p, E_x), (p1_p, p1_x), (p2_p, p2_x)]:
+                scale = float(jnp.max(jnp.abs(b))) + 1e-30
+                np.testing.assert_allclose(np.asarray(a) / scale,
+                                           np.asarray(b) / scale, atol=2e-5)
+
+    def test_expm_identity_at_zero_rates(self):
+        from phoskintime_tpu.ops.phi_pallas import phi_vectors_pallas
+
+        w, B = 7, 128
+        L = jnp.zeros((w, w, B), jnp.float32)
+        E, p1, p2 = phi_vectors_pallas(L, 2.0, 4, blk=128, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(E), np.broadcast_to(np.eye(w)[..., None], (w, w, B)),
+            atol=1e-6)
+        # phi1(0) = I -> p1 = h e0; phi2(0) = I/2 -> p2 = h^2/2 e0
+        np.testing.assert_allclose(np.asarray(p1[0]), 2.0, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(p2[0]), 2.0, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(p1[1:]), 0.0, atol=1e-9)
