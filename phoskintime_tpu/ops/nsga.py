@@ -44,13 +44,13 @@ def das_dennis(n_obj: int, n_partitions: int) -> np.ndarray:
 
 def lhs_sampling(n: int, xl: np.ndarray, xu: np.ndarray,
                  rng: np.random.Generator) -> np.ndarray:
-    """Latin hypercube sampling in [xl, xu]."""
+    """Latin hypercube sampling in [xl, xu].
+
+    Vectorized: per-column independent shuffles via ``rng.permuted``
+    (the per-column Python loop was ~8 ms/call at n_var=1103)."""
     d = len(xl)
-    U = np.empty((n, d))
-    for j in range(d):
-        u = (np.arange(n) + rng.random(n)) / n
-        rng.shuffle(u)
-        U[:, j] = u
+    U = (np.arange(n)[:, None] + rng.random((n, d))) / n
+    U = rng.permuted(U, axis=0)
     return xl + U * (xu - xl)
 
 
@@ -178,21 +178,24 @@ def nsga3_survival(X: np.ndarray, F: np.ndarray, n_survive: int,
             # niche counts from already-chosen members
             counts = np.bincount(niche[np.asarray(chosen, int)] if chosen else
                                  np.zeros(0, int), minlength=len(ref_dirs))
-            cand = list(fr)
+            # array-resident niching (the list.remove + per-iteration
+            # asarray variant measured ~19 ms/gen at pop 384)
+            cand = np.asarray(fr, int)
+            cn = niche[cand]
+            cd = nd[cand]
+            alive = np.ones(len(cand), bool)
             selected: list[int] = []
-            while len(selected) < k and cand:
-                cand_niches = niche[np.asarray(cand)]
-                min_count = counts[cand_niches].min()
-                # pick among candidates in the least-occupied niches
-                pool_mask = counts[cand_niches] == min_count
-                pool = [c for c, m in zip(cand, pool_mask) if m]
-                # within the niche pool, prefer smallest perpendicular distance
-                dists = nd[np.asarray(pool)]
-                pick = pool[int(np.argmin(dists))] if min_count == 0 else \
-                    pool[int(rng.integers(len(pool)))]
-                selected.append(pick)
-                cand.remove(pick)
-                counts[niche[pick]] += 1
+            while len(selected) < k and alive.any():
+                cc = np.where(alive, counts[cn], np.iinfo(np.int64).max)
+                min_count = cc.min()
+                pool = np.where(cc == min_count)[0]
+                # within the niche pool, prefer smallest perpendicular
+                # distance for empty niches, random otherwise
+                pick = (int(pool[np.argmin(cd[pool])]) if min_count == 0
+                        else int(pool[rng.integers(len(pool))]))
+                selected.append(int(cand[pick]))
+                alive[pick] = False
+                counts[cn[pick]] += 1
             chosen.extend(selected)
             break
     idx = np.asarray(chosen[:n_survive], int)
@@ -224,20 +227,27 @@ def sbx_crossover(parents_a, parents_b, xl, xu, rng, prob=0.9, eta=15.0):
 
     The spread factor is computed with a SINGLE fused power (pow dominates
     host time at the 10k-candidate ensemble scale)."""
-    Xa, Xb = parents_a.copy(), parents_b.copy()
+    # whole operator in f32: it feeds a STOCHASTIC search (f32 noise is
+    # immaterial) and the (n, d) elementwise chain + pow was the single
+    # hottest GA host stage (24 ms/gen at pop 384 x n_var 1103 in f64)
+    f32 = np.float32
+    Xa = parents_a.astype(f32)
+    Xb = parents_b.astype(f32)
     n, d = Xa.shape
     do_cx = rng.random(n) <= prob
-    u = rng.random((n, d))
-    base = np.where(u <= 0.5, 2 * u, 1.0 / np.maximum(2 * (1 - u), 1e-12))
-    beta = base ** (1.0 / (eta + 1))
+    u = rng.random((n, d), dtype=f32)
+    base = np.where(u <= 0.5, 2 * u, 1.0 / np.maximum(2 * (1 - u), f32(1e-7)))
+    beta = base ** f32(1.0 / (eta + 1))
     swap = rng.random((n, d)) <= 0.5
-    c1 = 0.5 * ((1 + beta) * Xa + (1 - beta) * Xb)
-    c2 = 0.5 * ((1 - beta) * Xa + (1 + beta) * Xb)
+    c1 = f32(0.5) * ((1 + beta) * Xa + (1 - beta) * Xb)
+    c2 = f32(0.5) * ((1 - beta) * Xa + (1 + beta) * Xb)
     o1 = np.where(swap, c2, c1)
     o2 = np.where(swap, c1, c2)
     o1 = np.where(do_cx[:, None], o1, Xa)
     o2 = np.where(do_cx[:, None], o2, Xb)
-    return np.clip(o1, xl, xu), np.clip(o2, xl, xu)
+    xl32 = np.asarray(xl, f32)
+    xu32 = np.asarray(xu, f32)
+    return np.clip(o1, xl32, xu32), np.clip(o2, xl32, xu32)
 
 
 def polynomial_mutation(X, xl, xu, rng, prob=None, eta=10.0):
@@ -345,10 +355,13 @@ def run_unsga3(evaluate: Callable[[np.ndarray], np.ndarray],
         off = np.vstack([o1, o2])[:n_off]
         off = polynomial_mutation(off, xl, xu, rng, eta=pm_eta)
 
-        # duplicate elimination against current pop
-        key = np.round(off, 12)
-        pop_key = {tuple(r) for r in np.round(X, 12)}
-        dup = np.array([tuple(r) in pop_key for r in key])
+        # duplicate elimination against current pop — row-bytes hashing
+        # (tuple-of-1103-floats keys measured ~30 ms/gen at n_var=1103)
+        key = np.ascontiguousarray(np.round(off, 12))
+        pop_rows = np.ascontiguousarray(np.round(X, 12))
+        pop_key = {pop_rows[i].tobytes() for i in range(len(pop_rows))}
+        dup = np.fromiter((key[i].tobytes() in pop_key
+                           for i in range(len(key))), bool, len(key))
         if dup.any():
             off[dup] = lhs_sampling(int(dup.sum()), xl, xu, rng)
 
