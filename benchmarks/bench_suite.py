@@ -97,6 +97,29 @@ def main():
     section("3_global_objective_throughput", 5 * P / (time.perf_counter() - t0),
             "full-network stiff solves/s (pop=256, N=40)")
 
+    # 3b. the saturating Michaelis-Menten mechanism (model 4): per-chunk
+    # exponential-Rosenbrock path (state-dependent Jacobian)
+    b4 = build_demo_network(n_proteins=40, n_kinases=12, model=4, seed=0,
+                            dtype=np.float32)
+    objp4 = make_population_objective(b4["system"], b4["slices"],
+                                      b4["loss_data"], b4["defaults"],
+                                      b4["lambdas"], b4["grid"])
+    thetas4 = jnp.asarray(b4["theta0"][None]
+                          + 0.05 * rng.normal(size=(2048,
+                                                    len(b4["theta0"]))),
+                          jnp.float32)
+    f4 = jax.jit(objp4)
+    F4 = f4(thetas4)
+    jax.block_until_ready(F4)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        F4 = f4(thetas4)
+    jax.block_until_ready(F4)
+    section("3_model4_rosenbrock_throughput",
+            5 * 2048 / (time.perf_counter() - t0),
+            "saturating-mechanism solves/s (pop=2048, N=40, "
+            "per-chunk expRB)")
+
     t0 = time.perf_counter()
     res3 = run_global_fit(b["system"], b["slices"], b["loss_data"],
                           b["defaults"], b["lambdas"], b["grid"],

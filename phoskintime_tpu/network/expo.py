@@ -54,8 +54,14 @@ from phoskintime_tpu.ops.integrators import ODEResult
 
 def _phi_pallas_ok(dtype) -> bool:
     """Route the propagator-table build to the Pallas kernel on real TPU
-    backends (f32 only); CPU (tests, virtual meshes) and f64 use XLA."""
+    backends (f32 only); CPU (tests, virtual meshes) and f64 use XLA.
+    Multi-device configs also take the XLA path: a pallas_call inside a
+    GSPMD-sharded program has no partitioning rule, so the mesh-sharded
+    population evaluation must stay pure-XLA (the tables partition
+    trivially there — the batch axis is the sharded population)."""
     try:
+        if len(jax.devices()) != 1:
+            return False
         plat = jax.devices()[0].platform
     except Exception:
         return False
