@@ -50,6 +50,15 @@ logger = setup_logger()
 def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
          weighting=None) -> dict:
     """Run the full global fit from a config; returns the result bundle."""
+    # persistent XLA compile cache: the fit's first trace costs ~13 s at
+    # reference scale (incl. the 14 Pallas table kernels) — repeat runs
+    # with the same shapes skip it entirely
+    try:
+        from phoskintime_tpu.parallel.profile import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
     if weighting is None:
         weighting = (cfg.weighting_method_protein, cfg.weighting_method_rna,
                      cfg.weighting_method_phospho)
