@@ -458,6 +458,192 @@ def plot_s_rates_report(csv_path, out_pdf, *, log_x=True,
     return out_pdf
 
 
+def scan_prior_reg(out_dir):
+    """Post-hoc lambda-weight scan over the saved Pareto front: for every
+    (lambda_prot, lambda_rna, lambda_phospho, lambda_prior) grid combo,
+    pick the front member minimizing the weighted score; write the full
+    scan, the unique picks, and a recommended choice.
+
+    Spec: reference ``global_model/export.py:1174-1253`` (scan_prior_reg)
+    — same grids, same row schema, same recommendation rule; the triple
+    loop collapses to one (combos x front) matmul.
+    """
+    import itertools
+    import json
+
+    F = np.load(os.path.join(out_dir, "pareto_F.npy"))
+    if F.ndim != 2 or F.shape[1] != 3:
+        raise ValueError(f"Expected F shape (n, 3); got {F.shape}")
+
+    lam_grid = np.logspace(-2, 2, 9)
+    lam_prior_grid = np.logspace(-4, 0, 9)
+    combos = np.asarray(list(itertools.product(lam_grid, lam_grid, lam_grid)))
+    base = combos @ F.T.astype(float)                   # (729, n)
+    best_i = base.argmin(axis=1)
+    base_best = base[np.arange(len(base)), best_i]
+
+    rows = []
+    for c in range(len(combos)):
+        for lprior in lam_prior_grid:
+            rows.append({
+                "lambda_prot": float(combos[c, 0]),
+                "lambda_rna": float(combos[c, 1]),
+                "lambda_phospho": float(combos[c, 2]),
+                "lambda_prior": float(lprior),
+                "best_i": int(best_i[c]),
+                "best_score": float(lprior * base_best[c]),
+                "prot_mse": float(F[best_i[c], 0]),
+                "rna_mse": float(F[best_i[c], 1]),
+                "phospho_mse": float(F[best_i[c], 2]),
+            })
+    df = pd.DataFrame(rows).sort_values(
+        ["lambda_prot", "lambda_rna", "lambda_phospho", "lambda_prior"],
+        ignore_index=True)
+    df.to_csv(os.path.join(out_dir, "lambda_scan.csv"), index=False)
+
+    uniq = df.drop_duplicates("best_i").copy()
+    uniq.to_csv(os.path.join(out_dir, "lambda_scan_unique_picks.csv"),
+                index=False)
+
+    cand = uniq.sort_values(["prot_mse", "rna_mse", "phospho_mse"],
+                            ignore_index=True).iloc[0]
+    rec = {
+        "lambda_prot": float(cand["lambda_prot"]),
+        "lambda_rna": float(cand["lambda_rna"]),
+        "lambda_phospho": float(cand["lambda_phospho"]),
+        "lambda_prior": float(cand["lambda_prior"]),
+        "best_i": int(cand["best_i"]),
+        "objectives": {"prot_mse": float(cand["prot_mse"]),
+                       "rna_mse": float(cand["rna_mse"]),
+                       "phospho_mse": float(cand["phospho_mse"])},
+        "note": "lambda_prior is a global multiplier; it does not change "
+                "best_i for fixed F (only rescales best_score).",
+    }
+    with open(os.path.join(out_dir, "lambda_scan_recommended.json"), "w") as f:
+        json.dump(rec, f, indent=2)
+    logger.info("[Export] Lambda scan complete.")
+    return df, uniq, rec
+
+
+def export_pareto_trajectories(system, slices, pareto_X, t_points, path,
+                               top_idx=None):
+    """Tidy per-solution predicted trajectories for (a subset of) the
+    Pareto front: sheets traj_protein / traj_rna / traj_phospho with a
+    ``sol_id`` column, plus a summary sheet.
+
+    Spec: reference ``global_model/export.py:220-414``
+    (export_pareto_front_to_excel's trajectory sheets). ONE batched
+    exponential simulation of all requested members replaces the
+    reference's per-solution solve loop.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.network.expo import exponential_simulate_batched
+    from phoskintime_tpu.network.params import unpack_params
+    from phoskintime_tpu.network.simulate import (extract_observables,
+                                                  fold_changes)
+
+    topo = system.topo
+    X = np.asarray(pareto_X, float)
+    if top_idx is None:
+        top_idx = np.arange(len(X))
+    top_idx = np.asarray(top_idx, int)
+    X = X[top_idx]
+    times = np.unique(np.concatenate([np.asarray(t, float)
+                                      for t in t_points]))
+
+    def simulate_all(thetas):
+        params_b = jax.vmap(
+            lambda th: unpack_params(th, slices, topo)
+        )(jnp.asarray(thetas, system.rhs.W_pad.dtype))
+        ys, _ = exponential_simulate_batched(system, params_b, times)
+
+        def fc(Y):
+            return fold_changes(extract_observables(system, Y),
+                                jnp.asarray(times))
+        return jax.vmap(fc)(ys)
+
+    fc_r, fc_p, fc_ph = (np.asarray(a) for a in jax.jit(simulate_all)(X))
+
+    rows_p, rows_r, rows_ph = [], [], []
+    for s, sid in enumerate(top_idx):
+        for i, prot in enumerate(topo.proteins):
+            rows_p.append(pd.DataFrame(
+                {"sol_id": int(sid), "protein": prot, "time": times,
+                 "pred_fc": fc_p[s, :, i]}))
+            rows_r.append(pd.DataFrame(
+                {"sol_id": int(sid), "protein": prot, "time": times,
+                 "pred_fc": fc_r[s, :, i]}))
+            for j, site in enumerate(topo.sites[i]):
+                rows_ph.append(pd.DataFrame(
+                    {"sol_id": int(sid), "protein": prot, "psite": site,
+                     "time": times, "pred_fc": fc_ph[s, :, i, j]}))
+
+    w = TableWriter(path)
+    w.add("summary", pd.DataFrame({"sol_id": top_idx.astype(int)}))
+    w.add("traj_protein", pd.concat(rows_p, ignore_index=True))
+    w.add("traj_rna", pd.concat(rows_r, ignore_index=True))
+    w.add("traj_phospho",
+          pd.concat(rows_ph, ignore_index=True) if rows_ph
+          else pd.DataFrame(columns=["sol_id", "protein", "psite", "time",
+                                     "pred_fc"]))
+    return w.save()
+
+
+def plot_gof_solutions(traj_prot, traj_rna, traj_pho, df_prot, df_rna,
+                       df_pho, out_dir, dpi=120):
+    """Per-solution goodness-of-fit panels (obs vs pred scatter with R^2
+    and chi^2 per modality) over the tidy trajectory frames from
+    :func:`export_pareto_trajectories`.
+
+    Spec: reference ``global_model/export.py:464-822``
+    (plot_goodness_of_fit + plot_gof_from_pareto_excel)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    sol_ids = sorted(set(traj_prot["sol_id"].astype(int)))
+    for sid in sol_ids:
+        fig, axes = plt.subplots(1, 3, figsize=(15, 4.8))
+        for ax, traj, obs, keys, title in [
+                (axes[0], traj_prot, df_prot, ["protein"], "Protein"),
+                (axes[1], traj_rna, df_rna, ["protein"], "mRNA"),
+                (axes[2], traj_pho, df_pho, ["protein", "psite"],
+                 "Phospho")]:
+            sub = traj[traj["sol_id"] == sid]
+            if obs is None or len(obs) == 0 or len(sub) == 0:
+                ax.axis("off")
+                continue
+            m = obs.merge(sub, on=keys + ["time"], how="inner")
+            if len(m) == 0:
+                ax.axis("off")
+                continue
+            x = m["fc"].to_numpy(float)
+            y = m["pred_fc"].to_numpy(float)
+            ss_res = float(np.sum((y - x) ** 2))
+            ss_tot = float(np.sum((x - x.mean()) ** 2))
+            r2 = 1.0 - ss_res / max(ss_tot, 1e-12)
+            chi2 = float(np.sum((y - x) ** 2 / np.maximum(np.abs(x), 1e-6)))
+            ax.scatter(x, y, s=14, alpha=0.6)
+            lo, hi = float(min(x.min(), y.min())), float(max(x.max(), y.max()))
+            ax.plot([lo, hi], [lo, hi], "k--", lw=1)
+            ax.set_title(f"{title}  R²={r2:.3f}  χ²={chi2:.3g}")
+            ax.set_xlabel("observed FC")
+            ax.set_ylabel("predicted FC")
+            ax.grid(True, alpha=0.3)
+        fig.suptitle(f"Goodness of fit — solution {sid}")
+        fig.tight_layout()
+        p = os.path.join(out_dir, f"gof_sol{sid}.png")
+        fig.savefig(p, dpi=dpi)
+        plt.close(fig)
+        paths.append(p)
+    return paths
+
+
 # ---------------------------------------------------------------------------
 # convergence history + animation
 # ---------------------------------------------------------------------------

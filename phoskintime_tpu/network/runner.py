@@ -179,6 +179,35 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
     )
 
     export_S_rates(system, params_best, out_dir)
+    # lambda-weight scan over the saved front + per-solution trajectories
+    # and GOF panels for the best few members (reference export.py:220-822,
+    # 1174-1253)
+    from phoskintime_tpu.io.export import (
+        export_pareto_trajectories,
+        plot_gof_solutions,
+        scan_prior_reg,
+    )
+
+    scan_prior_reg(out_dir)
+    n_top = min(3, len(res.pareto_X))
+    top_idx = np.argsort(res.pareto_F.sum(axis=1))[:n_top]
+    if res.best_idx not in top_idx:
+        top_idx = np.concatenate([[res.best_idx], top_idx[:-1]])
+    export_pareto_trajectories(system, slices, res.pareto_X,
+                               (tp_p, tp_r, tp_p),
+                               os.path.join(out_dir, "pareto_trajectories.xlsx"),
+                               top_idx=top_idx)
+    from phoskintime_tpu.io.load import read_table
+
+    tp = read_table(os.path.join(out_dir, "pareto_trajectories.xlsx"),
+                    sheet_name="traj_protein")
+    tr = read_table(os.path.join(out_dir, "pareto_trajectories.xlsx"),
+                    sheet_name="traj_rna")
+    tph = read_table(os.path.join(out_dir, "pareto_trajectories.xlsx"),
+                     sheet_name="traj_phospho")
+    if tp is not None and tr is not None and tph is not None:
+        plot_gof_solutions(tp, tr, tph, df_prot, df_rna, df_pho,
+                           os.path.join(out_dir, "gof_solutions"))
     if topo.total_sites:
         plot_s_rates_report(os.path.join(out_dir, "S_rates_picked.csv"),
                             os.path.join(out_dir, "S_rates_report.pdf"))

@@ -134,6 +134,13 @@ class TestCLI:
         assert (out / "steady_state_check.csv").exists()
         assert (out / "report.html").exists()
         assert (out / "pareto_3d.png").exists()
+        # round-2 export depth: lambda scan, per-solution trajectories+GOF
+        assert (out / "lambda_scan.csv").exists()
+        assert (out / "lambda_scan_recommended.json").exists()
+        assert any(f.startswith("pareto_trajectories")
+                   for f in os.listdir(out))
+        gofs = list((out / "gof_solutions").glob("gof_sol*.png"))
+        assert len(gofs) >= 1
 
     def test_clean(self, project):
         _run(project, ["clean"])

@@ -136,3 +136,66 @@ class TestGeneTimeseries:
     def test_save_all(self, tmp_path):
         paths = save_all_gene_timeseries(*self._frames(), str(tmp_path))
         assert len(paths) == 1 and paths[0].endswith("ts_GA.png")
+
+
+class TestScanPriorReg:
+    def test_scan_semantics(self, tmp_path):
+        from phoskintime_tpu.io.export import scan_prior_reg
+
+        rng = np.random.default_rng(0)
+        F = np.abs(rng.normal(1.0, 0.5, (12, 3))) + 0.01
+        np.save(tmp_path / "pareto_F.npy", F)
+        df, uniq, rec = scan_prior_reg(str(tmp_path))
+        assert len(df) == 9 ** 4
+        assert os.path.exists(tmp_path / "lambda_scan.csv")
+        assert os.path.exists(tmp_path / "lambda_scan_unique_picks.csv")
+        assert os.path.exists(tmp_path / "lambda_scan_recommended.json")
+        # oracle: re-derive one combo's pick directly
+        row = df.iloc[1234]
+        score = (row.lambda_prot * F[:, 0] + row.lambda_rna * F[:, 1]
+                 + row.lambda_phospho * F[:, 2])
+        assert int(row.best_i) == int(np.argmin(score))
+        # lambda_prior must not change the pick
+        g = df.groupby(["lambda_prot", "lambda_rna", "lambda_phospho"])
+        assert (g["best_i"].nunique() == 1).all()
+        assert rec["best_i"] in set(uniq["best_i"])
+
+
+class TestParetoTrajectoriesGOF:
+    def test_export_and_gof(self, tmp_path):
+        from phoskintime_tpu.io.export import (export_pareto_trajectories,
+                                               plot_gof_solutions)
+        from phoskintime_tpu.io.load import read_table
+        from phoskintime_tpu.network import init_raw_params
+        from phoskintime_tpu.network.bounds import calculate_bio_bounds
+        from phoskintime_tpu.network import default_params
+
+        sys = small_system()
+        topo = sys.topo
+        defaults = default_params(topo, np.float32)
+        bounds = {k: (1e-3, 4.0) for k in
+                  ["c_k", "A_i", "B_i", "C_i", "D_i", "Dp_i", "E_i",
+                   "tf_scale"]}
+        theta0, slices, xl, xu = init_raw_params(defaults, topo, bounds)
+        rng = np.random.default_rng(0)
+        X = theta0[None] + 0.1 * rng.normal(size=(4, len(theta0)))
+
+        path = str(tmp_path / "pareto_trajectories.xlsx")
+        export_pareto_trajectories(sys, slices, X, (GRID, GRID), path,
+                                   top_idx=[0, 2])
+        tp = read_table(path, sheet_name="traj_protein")
+        assert set(tp["sol_id"]) == {0, 2}
+        assert {"protein", "time", "pred_fc"} <= set(tp.columns)
+        assert np.isfinite(tp["pred_fc"]).all()
+
+        tr = read_table(path, sheet_name="traj_rna")
+        tph = read_table(path, sheet_name="traj_phospho")
+        obs_p = tp[tp.sol_id == 0][["protein", "time"]].assign(
+            fc=1.0 + 0.05 * np.arange(len(tp[tp.sol_id == 0])))
+        obs_r = tr[tr.sol_id == 0][["protein", "time"]].assign(fc=1.0)
+        obs_ph = tph[tph.sol_id == 0][["protein", "psite", "time"]].assign(
+            fc=1.0)
+        paths = plot_gof_solutions(tp, tr, tph, obs_p, obs_r, obs_ph,
+                                   str(tmp_path / "gof"))
+        assert len(paths) == 2
+        assert all(os.path.getsize(p) > 10000 for p in paths)
