@@ -86,6 +86,34 @@ class Plotter:
         ax.set_title(f"{self.gene}: parameter estimates (95% CI)")
         return self._save(fig, "params_ci")
 
+    def plot_scree(self, param_samples, target_variance=0.99):
+        """Scree plot: individual + cumulative explained variance with the
+        component count reaching ``target_variance`` marked (reference
+        plotting.py:87-115 pca_components). Returns (k, ratios)."""
+        from sklearn.decomposition import PCA
+
+        X = np.asarray(param_samples)
+        if len(X) < 3:
+            return None
+        p = PCA(n_components=min(X.shape))
+        p.fit(X)
+        ev = p.explained_variance_ratio_
+        cum = np.cumsum(ev)
+        k = int(np.argmax(cum >= target_variance) + 1)
+        fig, ax = plt.subplots(figsize=(7, 6))
+        ax.bar(range(1, len(ev) + 1), ev * 100, alpha=0.6, color=COLORS[0],
+               label="Individual")
+        ax.plot(range(1, len(cum) + 1), cum * 100, marker="o",
+                color=COLORS[1], label="Cumulative")
+        ax.axvline(x=k, color=COLORS[2], ls="--", label=f"{k} components")
+        ax.set_title(self.gene)
+        ax.set_xlabel("Principal Component")
+        ax.set_ylabel("Explained Variance (%)")
+        ax.legend()
+        ax.grid(True, alpha=0.2)
+        self._save(fig, "scree_plot")
+        return k, ev
+
     def plot_pca(self, param_samples, var_target=0.99):
         """PCA of a parameter ensemble, keeping components to var_target."""
         from sklearn.decomposition import PCA

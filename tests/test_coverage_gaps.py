@@ -104,6 +104,9 @@ class TestPlotterMethods:
         sol = np.abs(rng.normal(1, 0.2, (len(t), 4)))
         samples = np.abs(rng.normal(1, 0.3, (30, 6)))
         assert os.path.exists(pl.plot_tsne(samples))
+        k, ev = pl.plot_scree(samples)
+        assert 1 <= k <= samples.shape[1]
+        assert os.path.getsize(tmp_path / "GENE_scree_plot.png") > 5000
         assert os.path.exists(pl.plot_error_summary({"mse": 0.1, "mae": 0.2}))
         assert os.path.exists(pl.plot_perturbation_cloud(
             t, np.abs(rng.normal(1, 0.2, (5, len(t), 4))), sol))
