@@ -264,6 +264,15 @@ def cmd_clean(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # persistent XLA compile cache for every stage: first traces cost
+    # 10-50 s (kinopt local ~50 s, global fit ~13 s); repeat runs with
+    # unchanged shapes skip compilation entirely
+    try:
+        from phoskintime_tpu.parallel.profile import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
     cmd = args.command.replace("-", "_")
     {"prep": cmd_prep, "tfopt": cmd_tfopt, "kinopt": cmd_kinopt,
      "model": cmd_model, "global_model": cmd_global_model,
