@@ -33,6 +33,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent XLA compile cache — the parity equivalent of the
+    # reference's Numba disk caches (cache=True on every njit kernel):
+    # first-ever run pays the compiles, repeat runs measure steady state
+    from phoskintime_tpu.parallel.profile import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from phoskintime_tpu.fit.normest import normest, normest_batch
     from phoskintime_tpu.models.kinetics import (initial_condition,
                                                  solve_ode, solve_ode_batched)
