@@ -446,6 +446,236 @@ def run_nsga2(evaluate, xl, xu, pop_size=100, n_gen=100, seed=42,
     return MOOResult(X, F, X[pf], F[pf], history, gen, n_evals)
 
 
+# ---------------------------------------------------------------------------
+# hypervolume (3-objective, minimization) — the S-metric behind SMS-EMOA
+# ---------------------------------------------------------------------------
+
+def _staircase_area(xy: np.ndarray, rx: float, ry: float) -> float:
+    """Area of union of [x_i, rx] x [y_i, ry] rectangles (minimization)."""
+    if len(xy) == 0:
+        return 0.0
+    order = np.argsort(xy[:, 0], kind="stable")
+    xs, ys = xy[order, 0], xy[order, 1]
+    # keep the lower staircase: strictly decreasing y as x increases
+    keep_x, keep_y = [], []
+    best_y = np.inf
+    for x, y in zip(xs, ys):
+        if y < best_y:
+            keep_x.append(x)
+            keep_y.append(y)
+            best_y = y
+    area = 0.0
+    y_prev = ry
+    for x, y in zip(keep_x, keep_y):
+        area += (y_prev - y) * (rx - x)
+        y_prev = y
+    return area
+
+
+def hv3d(F: np.ndarray, ref: np.ndarray) -> float:
+    """Exact hypervolume of a 3-objective minimization set w.r.t. ``ref``
+    (z-sweep of 2D staircase areas, Fonseca-style). Points outside the
+    reference box contribute nothing."""
+    F = np.asarray(F, float)
+    if F.ndim != 2 or F.shape[1] != 3:
+        raise ValueError("hv3d expects (n, 3)")
+    ref = np.asarray(ref, float)
+    inside = np.all(F < ref, axis=1)
+    F = F[inside]
+    if len(F) == 0:
+        return 0.0
+    order = np.argsort(F[:, 2], kind="stable")
+    F = F[order]
+    zs = F[:, 2]
+    vol = 0.0
+    for k in range(len(F)):
+        z_hi = zs[k + 1] if k + 1 < len(F) else ref[2]
+        dz = z_hi - zs[k]
+        if dz <= 0:
+            continue
+        vol += dz * _staircase_area(F[: k + 1, :2], ref[0], ref[1])
+    return vol
+
+
+def hv_contributions_3d(F: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Leave-one-out hypervolume contributions (exact, O(n^2 log n))."""
+    F = np.asarray(F, float)
+    total = hv3d(F, ref)
+    out = np.empty(len(F))
+    for i in range(len(F)):
+        out[i] = total - hv3d(np.delete(F, i, axis=0), ref)
+    return out
+
+
+def run_smsemoa(evaluate, xl, xu, pop_size=100, n_gen=1000, seed=42,
+                sbx_prob=0.9, sbx_eta=15.0, pm_eta=20.0,
+                callback=None) -> MOOResult:
+    """SMS-EMOA (Beume, Naujoks & Emmerich 2007): steady-state, one
+    offspring per iteration; survival discards the least hypervolume
+    contributor of the worst front (domination count when several fronts
+    exist — the paper's d(x) criterion). Reference consumer:
+    tfopt optimizer code 1 (``tfopt/evol/opt/optrun.py:58``, pymoo
+    SMSEMOA there). 3-objective exact S-metric via :func:`hv3d`."""
+    rng = np.random.default_rng(seed)
+    xl, xu = np.asarray(xl, float), np.asarray(xu, float)
+
+    X = lhs_sampling(pop_size, xl, xu, rng)
+    F = np.asarray(evaluate(X), float)
+    n_evals = len(X)
+    history = []
+
+    it = 0
+    for it in range(1, n_gen + 1):
+        fronts = fast_non_dominated_sort(F)
+        rank = np.empty(len(F), int)
+        for r, fr in enumerate(fronts):
+            rank[fr] = r
+        # binary tournament on rank (random tie-break)
+        pa = _tournament(rank, rng.random(len(F)), 1, rng)
+        pb = _tournament(rank, rng.random(len(F)), 1, rng)
+        o1, _ = sbx_crossover(X[pa], X[pb], xl, xu, rng, prob=sbx_prob,
+                              eta=sbx_eta)
+        child = polynomial_mutation(o1, xl, xu, rng, eta=pm_eta)
+        F_c = np.asarray(evaluate(child), float)
+        n_evals += 1
+
+        X_all = np.vstack([X, child])
+        F_all = np.vstack([F, F_c])
+        fronts = fast_non_dominated_sort(F_all)
+        worst = fronts[-1]
+        if len(fronts) > 1:
+            # several fronts: drop the worst-front member dominated by the
+            # most points (d(x), SMS-EMOA Eq. 4)
+            le = (F_all[:, None, :] <= F_all[None, worst, :]).all(-1)
+            lt = (F_all[:, None, :] < F_all[None, worst, :]).any(-1)
+            d = (le & lt).sum(axis=0)
+            drop = worst[int(np.argmax(d))]
+        else:
+            ref = F_all.max(axis=0) + 1.0
+            contrib = hv_contributions_3d(F_all[worst], ref)
+            drop = worst[int(np.argmin(contrib))]
+        keep = np.ones(len(F_all), bool)
+        keep[drop] = False
+        X, F = X_all[keep], F_all[keep]
+        if it % 50 == 0:
+            history.append((it, F.min(axis=0).copy(), F.mean(axis=0).copy()))
+            if callback is not None:
+                callback(it, X, F)
+
+    fronts = fast_non_dominated_sort(F)
+    pf = fronts[0]
+    return MOOResult(X, F, X[pf], F[pf], history, it, n_evals)
+
+
+def _agemoea_survival(X, F, n_survive):
+    """AGE-MOEA environmental selection (Panichella, GECCO 2019).
+
+    Normalize by front-1 intercepts, estimate the front's geometry
+    exponent p from the central point (front assumed on sum f_i^p = 1:
+    a central point with ~equal coords c gives m c^p = 1, so
+    p = ln m / -ln c), then keep extremes + maximize
+    diversity/proximity under the p-norm; later fronts rank by proximity.
+    """
+    fronts = fast_non_dominated_sort(F)
+    f1 = fronts[0]
+    ideal = F.min(axis=0)
+    intercepts = _hyperplane_intercepts(F[f1], ideal)
+    Fn = (F - ideal) / np.where(intercepts > 1e-12, intercepts, 1.0)
+
+    m = F.shape[1]
+    # central point: minimum perpendicular distance to the unit diagonal
+    diag = np.ones(m) / np.sqrt(m)
+    proj = Fn[f1] @ diag
+    perp = np.sqrt(np.maximum((Fn[f1] ** 2).sum(1) - proj ** 2, 0.0))
+    central = Fn[f1][int(np.argmin(perp))]
+    c = float(np.clip(central.mean(), 1e-3, 0.999))
+    p = float(np.clip(np.log(m) / -np.log(c), 0.1, 10.0))
+
+    def pnorm(A):
+        return np.maximum(np.abs(A) ** p, 1e-12).sum(axis=-1) ** (1.0 / p)
+
+    chosen: list[int] = []
+    for r, fr in enumerate(fronts):
+        if len(chosen) + len(fr) <= n_survive:
+            chosen.extend(fr.tolist())
+            if len(chosen) == n_survive:
+                break
+            continue
+        k = n_survive - len(chosen)
+        sub = Fn[fr]
+        prox = pnorm(sub)
+        if r == 0:
+            # always keep the m extreme points first (axis-wise ASF, as
+            # in the NSGA-III normalization)
+            extremes = []
+            for j in range(m):
+                w = np.full(m, 1e-6)
+                w[j] = 1.0
+                extremes.append(int(np.argmin(
+                    _achievement_scalarizing(sub, w))))
+            sel = list(dict.fromkeys(extremes))[:k]
+            remaining = [i for i in range(len(fr)) if i not in sel]
+            # p-norm pairwise distances for the diversity term
+            D = (np.abs(sub[:, None, :] - sub[None, :, :]) ** p
+                 ).sum(-1) ** (1.0 / p)
+            np.fill_diagonal(D, np.inf)
+            while len(sel) < k and remaining:
+                Dsel = D[np.ix_(remaining, sel)]
+                if Dsel.shape[1] >= 2:
+                    near2 = np.partition(Dsel, 1, axis=1)[:, :2].sum(1)
+                else:
+                    near2 = Dsel.min(axis=1)
+                score = near2 / np.maximum(prox[remaining], 1e-12)
+                pick = int(np.argmax(score))
+                sel.append(remaining.pop(pick))
+            chosen.extend(int(fr[i]) for i in sel[:k])
+        else:
+            order = np.argsort(prox, kind="stable")[:k]
+            chosen.extend(int(fr[i]) for i in order)
+        break
+    idx = np.asarray(chosen[:n_survive], int)
+    return X[idx], F[idx]
+
+
+def run_agemoea(evaluate, xl, xu, pop_size=100, n_gen=100, seed=42,
+                sbx_prob=0.9, sbx_eta=15.0, pm_eta=20.0,
+                callback=None) -> MOOResult:
+    """AGE-MOEA (adaptive geometry estimation, Panichella 2019):
+    generational GA with the p-norm survival above. Reference consumer:
+    tfopt optimizer code 2 (``tfopt/evol/opt/optrun.py``, pymoo AGEMOEA
+    there)."""
+    rng = np.random.default_rng(seed)
+    xl, xu = np.asarray(xl, float), np.asarray(xu, float)
+    X = lhs_sampling(pop_size, xl, xu, rng)
+    F = np.asarray(evaluate(X), float)
+    n_evals = len(X)
+    history = []
+
+    gen = 0
+    for gen in range(1, n_gen + 1):
+        fronts = fast_non_dominated_sort(F)
+        rank = np.empty(len(F), int)
+        for r, fr in enumerate(fronts):
+            rank[fr] = r
+        pa = _tournament(rank, rng.random(len(F)), pop_size, rng)
+        pb = _tournament(rank, rng.random(len(F)), pop_size, rng)
+        o1, o2 = sbx_crossover(X[pa], X[pb], xl, xu, rng, prob=sbx_prob,
+                               eta=sbx_eta)
+        off = polynomial_mutation(np.vstack([o1, o2])[:pop_size], xl, xu,
+                                  rng, eta=pm_eta)
+        F_off = np.asarray(evaluate(off), float)
+        n_evals += len(off)
+        X, F = _agemoea_survival(np.vstack([X, off]),
+                                 np.vstack([F, F_off]), pop_size)
+        history.append((gen, F.min(axis=0).copy(), F.mean(axis=0).copy()))
+        if callback is not None:
+            callback(gen, X, F)
+
+    fronts = fast_non_dominated_sort(F)
+    pf = fronts[0]
+    return MOOResult(X, F, X[pf], F[pf], history, gen, n_evals)
+
+
 def run_de(evaluate, xl, xu, pop_size=100, n_gen=1000, seed=42,
            F_weight=0.8, CR=0.9, constraint_fn=None, x0=None,
            repair_fn=None, callback=None) -> MOOResult:

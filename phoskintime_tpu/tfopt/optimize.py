@@ -4,8 +4,9 @@
 Spec: reference ``tfopt/local/__main__.py:60-75`` (48-start joblib SLSQP
 multistart + polish) and ``tfopt/evol/opt/optrun.py:41-120`` (UNSGA3 /
 SMSEMOA / AGEMOEA over (loss, alpha-viol^2, beta-viol^2), pop = 2*n_var,
-1000 gens). SMSEMOA/AGEMOEA collapse to the NSGA-II/UNSGA3 survival kernels
-here; all three reference optimizer codes (0/1/2) are accepted.
+1000 gens). All three reference optimizer codes run their REAL
+algorithms: 0 UNSGA3, 1 steady-state SMS-EMOA (exact 3-obj hypervolume
+survival), 2 AGE-MOEA (adaptive p-norm geometry survival).
 """
 
 from __future__ import annotations
@@ -17,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from phoskintime_tpu.ops.constrained import project_sum_box, projected_adam
-from phoskintime_tpu.ops.nsga import run_nsga2, run_unsga3
+from phoskintime_tpu.ops.nsga import (run_agemoea, run_nsga2, run_smsemoa,
+                                      run_unsga3)
 from phoskintime_tpu.tfopt.model import TfoptProblem, tfopt_loss, violation_sq
 
 
@@ -109,6 +111,14 @@ def run_evolutionary(prob: TfoptProblem, optimizer: int = 0,
         res = run_unsga3(evaluate, xl, xu, pop_size=pop_size, n_gen=n_gen,
                          n_obj=3, n_partitions=12, seed=seed, ftol=0.0,
                          n_max_evals=None)
+    elif optimizer == 1:
+        # steady-state, one offspring per iteration — pymoo's SMSEMOA
+        # default (n_offsprings=1), so n_gen maps 1:1
+        res = run_smsemoa(evaluate, xl, xu, pop_size=pop_size,
+                          n_gen=n_gen, seed=seed)
+    elif optimizer == 2:
+        res = run_agemoea(evaluate, xl, xu, pop_size=pop_size, n_gen=n_gen,
+                          seed=seed)
     else:
         res = run_nsga2(evaluate, xl, xu, pop_size=pop_size, n_gen=n_gen,
                         seed=seed)

@@ -151,6 +151,21 @@ class TestTfopt:
         has_reg = prob.alpha_mask.sum(axis=1) > 0
         assert av[has_reg].max() < 0.2  # evol path approaches feasibility
 
+    @pytest.mark.parametrize("optimizer", [1, 2])
+    def test_smsemoa_agemoea_codes(self, optimizer):
+        """Reference optimizer codes 1 (SMS-EMOA) / 2 (AGE-MOEA) run their
+        real algorithms (tfopt/evol/opt/optrun.py:57-59)."""
+        prob, *_ = tf_problem()
+        # SMS-EMOA is steady-state (1 eval/iter) -> larger n_gen for a
+        # comparable evaluation budget
+        res = tf_evol(prob, optimizer=optimizer,
+                      n_gen=1500 if optimizer == 1 else 120,
+                      pop_size=40, seed=1)
+        assert np.isfinite(res.loss)
+        av = np.abs((res.alpha * prob.alpha_mask).sum(axis=1) - 1.0)
+        has_reg = prob.alpha_mask.sum(axis=1) > 0
+        assert av[has_reg].max() < 0.5
+
 
 class TestKinoptLossVariants:
     @pytest.mark.parametrize("loss_type", ["base", "weighted", "softl1",

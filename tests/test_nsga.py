@@ -116,3 +116,64 @@ class TestAlgorithms:
         res = run_unsga3(sphere3, np.zeros(4), np.ones(4), pop_size=20,
                          n_gen=5, n_partitions=4, seed=6, x0=x0, ftol=0.0)
         assert res.n_evals >= 20 * 6
+
+
+class TestHypervolume:
+    def test_single_point(self):
+        from phoskintime_tpu.ops.nsga import hv3d
+
+        # one point at origin-ish, ref (1,1,1): volume of its dominated box
+        assert hv3d(np.array([[0.2, 0.3, 0.4]]), np.ones(3)) == pytest.approx(
+            0.8 * 0.7 * 0.6)
+
+    def test_union_vs_monte_carlo(self):
+        from phoskintime_tpu.ops.nsga import hv3d
+
+        rng = np.random.default_rng(0)
+        F = rng.uniform(0, 1, (12, 3))
+        ref = np.ones(3)
+        got = hv3d(F, ref)
+        pts = rng.uniform(0, 1, (200_000, 3))
+        dominated = np.any(np.all(pts[:, None, :] >= F[None], axis=2), axis=1)
+        mc = dominated.mean()
+        assert got == pytest.approx(mc, abs=0.01)
+
+    def test_contributions_sum_and_order(self):
+        from phoskintime_tpu.ops.nsga import hv3d, hv_contributions_3d
+
+        # three mutually non-dominated points
+        F = np.array([[0.1, 0.5, 0.5], [0.5, 0.1, 0.5], [0.5, 0.5, 0.1]])
+        ref = np.ones(3)
+        c = hv_contributions_3d(F, ref)
+        assert np.all(c > 0)
+        # removing any one point loses exactly its contribution
+        for i in range(3):
+            assert hv3d(np.delete(F, i, 0), ref) == pytest.approx(
+                hv3d(F, ref) - c[i])
+
+    def test_dominated_point_contributes_nothing(self):
+        from phoskintime_tpu.ops.nsga import hv_contributions_3d
+
+        F = np.array([[0.2, 0.2, 0.2], [0.5, 0.5, 0.5]])
+        c = hv_contributions_3d(F, np.ones(3))
+        assert c[1] == pytest.approx(0.0, abs=1e-12)
+
+
+class TestSMSEMOAandAGEMOEA:
+    def test_smsemoa_dtlz2(self):
+        from phoskintime_tpu.ops.nsga import run_smsemoa
+
+        res = run_smsemoa(dtlz2, np.zeros(7), np.ones(7), pop_size=60,
+                          n_gen=1500, seed=2)
+        norms = np.linalg.norm(res.pareto_F, axis=1)
+        assert np.abs(norms - 1).mean() < 0.12
+        assert res.n_evals == 60 + 1500  # steady state: one eval per iter
+
+    def test_agemoea_dtlz2(self):
+        from phoskintime_tpu.ops.nsga import run_agemoea
+
+        res = run_agemoea(dtlz2, np.zeros(7), np.ones(7), pop_size=80,
+                          n_gen=120, seed=3)
+        norms = np.linalg.norm(res.pareto_F, axis=1)
+        assert np.abs(norms - 1).mean() < 0.06
+        assert res.pareto_F.shape[0] > 20
