@@ -475,7 +475,11 @@ def _staircase_area(xy: np.ndarray, rx: float, ry: float) -> float:
 def hv3d(F: np.ndarray, ref: np.ndarray) -> float:
     """Exact hypervolume of a 3-objective minimization set w.r.t. ``ref``
     (z-sweep of 2D staircase areas, Fonseca-style). Points outside the
-    reference box contribute nothing."""
+    reference box contribute nothing.
+
+    This is the m=3 fast path for SMS-EMOA's per-iteration survival;
+    the general-m recursive implementation lives in
+    ``ops.indicators.hypervolume`` (equivalence covered by tests)."""
     F = np.asarray(F, float)
     if F.ndim != 2 or F.shape[1] != 3:
         raise ValueError("hv3d expects (n, 3)")

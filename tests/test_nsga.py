@@ -177,3 +177,12 @@ class TestSMSEMOAandAGEMOEA:
         norms = np.linalg.norm(res.pareto_F, axis=1)
         assert np.abs(norms - 1).mean() < 0.06
         assert res.pareto_F.shape[0] > 20
+
+    def test_hv3d_matches_general_indicator(self):
+        from phoskintime_tpu.ops.indicators import hypervolume
+        from phoskintime_tpu.ops.nsga import hv3d
+
+        rng = np.random.default_rng(3)
+        F = rng.uniform(0, 1, (15, 3))
+        ref = np.array([1.2, 1.1, 1.3])
+        assert hv3d(F, ref) == pytest.approx(hypervolume(F, ref), rel=1e-10)
