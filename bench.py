@@ -123,12 +123,7 @@ def accuracy_vs_lsoda(b, Y_lsoda):
     p_b = {k: jnp.asarray(v, jnp.float32)[None] for k, v in b["true"].items()}
     ys, success = exponential_simulate_batched(system, p_b, times)
     assert bool(success[0]), "ETD2RK reported failure at true params"
-
-    class _Res:
-        pass
-
-    res = _Res()
-    res.ys = ys[0]
+    ys0 = ys[0]
 
     msk = np.asarray(system.topo.site_mask(), bool)
 
@@ -139,7 +134,7 @@ def accuracy_vs_lsoda(b, Y_lsoda):
                 np.asarray(fc_pho, float)[:, msk])
 
     errs = [np.max(np.abs(a - o) / np.maximum(np.abs(o), 1e-6))
-            for a, o in zip(fcs(res.ys), fcs(Y_lsoda))]
+            for a, o in zip(fcs(ys0), fcs(Y_lsoda))]
     return float(max(errs))
 
 

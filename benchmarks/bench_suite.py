@@ -311,10 +311,9 @@ def precision_delta(rng):
     best64 = np.asarray(payload["best"], float)
     obj_delta = float(np.max(np.abs(F32 - F64) / np.maximum(np.abs(F64),
                                                             1e-12)))
-    b64 = build_demo_network(n_proteins=40, n_kinases=12, seed=0,
-                             dtype=np.float32)
-    rel32 = _recovery_errors(b64, best32)
-    rel64 = _recovery_errors(b64, best64)
+    # truth values are dtype-independent: reuse the f32 build
+    rel32 = _recovery_errors(b, best32)
+    rel64 = _recovery_errors(b, best64)
     param_delta = float(np.median(np.abs(best32 - best64)
                                   / np.maximum(np.abs(best64), 1e-9)))
     section("6_precision_f32tpu_vs_f64cpu", obj_delta,

@@ -336,7 +336,10 @@ def important_connections(alpha_df, out_dir, top_n=20,
                           cols=("Kinase", "Gene", "Alpha")):
     """Top-N strongest edges table + bar chart (postfit.py:576-620)."""
     src, tgt, val = cols
-    e = (alpha_df[[src, tgt, val]].copy()
+    # aggregate per (src, tgt): kinopt alphas carry one row per psite, and
+    # duplicate barh labels collapse onto one y slot (caught in review)
+    e = (alpha_df[[src, tgt, val]]
+         .groupby([src, tgt], as_index=False)[val].sum()
          .sort_values(val, ascending=False).head(top_n))
     fig, ax = plt.subplots(figsize=(8, max(4, 0.3 * len(e))))
     labels = [f"{s} → {t}" for s, t in zip(e[src], e[tgt])]

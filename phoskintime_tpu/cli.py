@@ -108,7 +108,9 @@ def cmd_prep(args):
     out_dir = args.out_dir
     if out_dir is None:
         sec = load(None, "paths", args.config)
-        out_dir = os.path.join(sec["_root"], sec.get("data_dir", "."))
+        # default must MATCH the downstream stages' default ("data"), or
+        # prep output lands where tfopt/kinopt/model will not look
+        out_dir = os.path.join(sec["_root"], sec.get("data_dir", "data"))
         os.makedirs(out_dir, exist_ok=True)
     run_cleanup(args.base_dir, out_dir)
 

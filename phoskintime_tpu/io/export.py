@@ -710,8 +710,9 @@ def create_convergence_video(pop_history, pareto_F, output_dir,
     frames = pop_history
     if len(frames) > max_frames:
         step = int(np.ceil(len(frames) / max_frames))
-        frames = frames[::step] + ([pop_history[-1]]
-                                   if pop_history[-1] is not frames[-1] else [])
+        frames = frames[::step]
+        if frames[-1] is not pop_history[-1]:
+            frames = frames + [pop_history[-1]]  # always end on the final gen
 
     all_F = np.vstack([np.asarray(F, float) for _, F in frames])
     min_f, max_f = all_F.min(axis=0), all_F.max(axis=0)
@@ -825,8 +826,10 @@ def save_gene_timeseries_plots(gene, df_prot_obs, df_prot_pred, df_rna_obs,
         else:
             psites = sorted(set(ph_obs.get("psite", pd.Series(dtype=object)))
                             | set(ph_pre.get("psite", pd.Series(dtype=object))))
-            for ps in psites:
-                col = f"C{hash(ps) % 10}"
+            for ps_i, ps in enumerate(psites):
+                # deterministic color per site (hash() is per-process
+                # randomized and would recolor identical figures)
+                col = f"C{ps_i % 10}"
                 so = ph_obs[ph_obs.get("psite") == ps] if len(ph_obs) else ph_obs
                 sp = ph_pre[ph_pre.get("psite") == ps] if len(ph_pre) else ph_pre
                 if len(so):

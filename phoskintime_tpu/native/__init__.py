@@ -63,6 +63,12 @@ def get_lib():
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_int,
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
+    lib.hv3d_contrib.restype = None
+    lib.hv3d_contrib.argtypes = [
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
     lib.associate.restype = None
     lib.associate.argtypes = [
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
@@ -108,3 +114,16 @@ def associate_native(Fn: np.ndarray, unit_dirs: np.ndarray):
     dist = np.empty(Fn.shape[0], np.float64)
     lib.associate(Fn, Fn.shape[0], Fn.shape[1], U, U.shape[0], niche, dist)
     return niche, dist
+
+
+def hv3d_contrib_native(F: np.ndarray, ref: np.ndarray) -> np.ndarray | None:
+    """Leave-one-out 3-objective hypervolume contributions (exact), or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hv3d_contrib"):
+        return None
+    F = np.ascontiguousarray(F, np.float64)
+    ref = np.ascontiguousarray(ref, np.float64)
+    out = np.empty(len(F), np.float64)
+    lib.hv3d_contrib(F, len(F), ref, out)
+    return out

@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <vector>
 
 extern "C" {
@@ -126,6 +127,85 @@ void associate(const double* Fn, int n, int m, const double* U, int r,
         }
         niche_out[i] = best_j;
         dist_out[i] = best > 0 ? std::sqrt(best) : 0.0;
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// 3-objective hypervolume contributions (SMS-EMOA survival)
+// ---------------------------------------------------------------------------
+
+// Exact hypervolume of the points listed in idx (minimization, ref box),
+// via a z-sweep with an incrementally-maintained 2D staircase whose area
+// is updated in O(log n + removed) per insertion.
+static double hv3d_of(const double* F, const std::vector<int32_t>& idx,
+                      const double* ref) {
+    std::vector<int32_t> pts;
+    pts.reserve(idx.size());
+    for (int32_t i : idx) {
+        const double* f = F + (size_t)i * 3;
+        if (f[0] < ref[0] && f[1] < ref[1] && f[2] < ref[2]) pts.push_back(i);
+    }
+    if (pts.empty()) return 0.0;
+    std::sort(pts.begin(), pts.end(), [&](int32_t a, int32_t b) {
+        return F[(size_t)a * 3 + 2] < F[(size_t)b * 3 + 2];
+    });
+
+    // staircase: x -> y, x ascending, y strictly descending
+    std::map<double, double> st;
+    double area = 0.0, vol = 0.0;
+    double z_prev = F[(size_t)pts[0] * 3 + 2];
+    for (int32_t i : pts) {
+        const double* f = F + (size_t)i * 3;
+        double x = f[0], y = f[1], z = f[2];
+        vol += area * (z - z_prev);
+        z_prev = z;
+
+        // dominated in 2D by an existing staircase point?
+        auto it = st.lower_bound(x);            // first x' >= x
+        double y_up = ref[1];
+        if (it != st.begin()) y_up = std::prev(it)->second;
+        if (y_up <= y) continue;                // dominated by an x' < x
+        if (it != st.end() && it->first == x && it->second <= y)
+            continue;                           // dominated at equal x
+        // remove points dominated by (x, y): x'' >= x with y'' >= y
+        double y_cut = y_up;                    // y above the removed block
+        while (it != st.end() && it->second >= y) {
+            double xr = it->first, yr = it->second;
+            area -= (y_cut - yr) * (ref[0] - xr);
+            y_cut = yr;
+            it = st.erase(it);
+        }
+        // successor's term shrinks: its upper y becomes the new point's y
+        if (it != st.end()) {
+            // no area change needed for the successor itself: its term is
+            // (y_above - y_s)(rx - x_s) where y_above was y_cut, now y
+            double xs = it->first, ys = it->second;
+            area -= (y_cut - ys) * (ref[0] - xs);
+            area += (y - ys) * (ref[0] - xs);
+        }
+        area += (y_up - y) * (ref[0] - x);
+        st[x] = y;
+    }
+    vol += area * (ref[2] - z_prev);
+    return vol;
+}
+
+extern "C" {
+
+// Leave-one-out hypervolume contributions of F (n, 3) w.r.t. ref (3,).
+// out (n,). O(n^2 log n) total.
+void hv3d_contrib(const double* F, int n, const double* ref, double* out) {
+    std::vector<int32_t> all(n);
+    for (int i = 0; i < n; ++i) all[i] = i;
+    double total = hv3d_of(F, all, ref);
+    std::vector<int32_t> sub(n - 1);
+    for (int i = 0; i < n; ++i) {
+        int k = 0;
+        for (int j = 0; j < n; ++j)
+            if (j != i) sub[k++] = j;
+        out[i] = total - hv3d_of(F, sub, ref);
     }
 }
 

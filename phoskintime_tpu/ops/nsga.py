@@ -283,6 +283,20 @@ def polynomial_mutation(X, xl, xu, rng, prob=None, eta=10.0):
     return np.clip(X, xl, xu)
 
 
+def _duplicate_mask(off: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """True per offspring row that duplicates a population row.
+
+    Row-bytes hashing (tuple-of-1103-floats keys measured ~30 ms/gen at
+    n_var=1103). Both sides are cast f32 THEN rounded: offspring come out
+    of the f32 SBX path, so an f64-only key never matches a cloned f64
+    parent and the guard would silently no-op (caught in review)."""
+    key = np.ascontiguousarray(np.round(np.asarray(off, np.float32), 5))
+    pop_rows = np.ascontiguousarray(np.round(np.asarray(X, np.float32), 5))
+    pop_key = {pop_rows[i].tobytes() for i in range(len(pop_rows))}
+    return np.fromiter((key[i].tobytes() in pop_key
+                        for i in range(len(key))), bool, len(key))
+
+
 def _tournament(rank_like: np.ndarray, tiebreak: np.ndarray, n_pairs: int,
                 rng: np.random.Generator) -> np.ndarray:
     """Binary tournament: lower rank wins, tie -> lower tiebreak value."""
@@ -355,13 +369,8 @@ def run_unsga3(evaluate: Callable[[np.ndarray], np.ndarray],
         off = np.vstack([o1, o2])[:n_off]
         off = polynomial_mutation(off, xl, xu, rng, eta=pm_eta)
 
-        # duplicate elimination against current pop — row-bytes hashing
-        # (tuple-of-1103-floats keys measured ~30 ms/gen at n_var=1103)
-        key = np.ascontiguousarray(np.round(off, 12))
-        pop_rows = np.ascontiguousarray(np.round(X, 12))
-        pop_key = {pop_rows[i].tobytes() for i in range(len(pop_rows))}
-        dup = np.fromiter((key[i].tobytes() in pop_key
-                           for i in range(len(key))), bool, len(key))
+        # duplicate elimination against current pop
+        dup = _duplicate_mask(off, X)
         if dup.any():
             off[dup] = lhs_sampling(int(dup.sum()), xl, xu, rng)
 
@@ -502,8 +511,17 @@ def hv3d(F: np.ndarray, ref: np.ndarray) -> float:
 
 
 def hv_contributions_3d(F: np.ndarray, ref: np.ndarray) -> np.ndarray:
-    """Leave-one-out hypervolume contributions (exact, O(n^2 log n))."""
+    """Leave-one-out hypervolume contributions (exact).
+
+    Routed through the native C++ kernel when available (incremental
+    staircase sweep, O(n^2 log n) — the pure-Python fallback rebuilds
+    the staircase per slab and is O(n^3)-ish, fine only for small n)."""
     F = np.asarray(F, float)
+    from phoskintime_tpu.native import hv3d_contrib_native
+
+    native = hv3d_contrib_native(F, np.asarray(ref, float))
+    if native is not None:
+        return native
     total = hv3d(F, ref)
     out = np.empty(len(F))
     for i in range(len(F)):
@@ -511,64 +529,84 @@ def hv_contributions_3d(F: np.ndarray, ref: np.ndarray) -> np.ndarray:
     return out
 
 
-def run_smsemoa(evaluate, xl, xu, pop_size=100, n_gen=1000, seed=42,
+def run_smsemoa(evaluate, xl, xu, pop_size=100, n_gen=1000,
+                n_offsprings: int | None = None, seed=42,
                 sbx_prob=0.9, sbx_eta=15.0, pm_eta=20.0,
                 callback=None) -> MOOResult:
-    """SMS-EMOA (Beume, Naujoks & Emmerich 2007): steady-state, one
-    offspring per iteration; survival discards the least hypervolume
-    contributor of the worst front (domination count when several fronts
-    exist — the paper's d(x) criterion). Reference consumer:
-    tfopt optimizer code 1 (``tfopt/evol/opt/optrun.py:58``, pymoo
-    SMSEMOA there). 3-objective exact S-metric via :func:`hv3d`."""
+    """SMS-EMOA (Beume, Naujoks & Emmerich 2007): survival iteratively
+    discards the least hypervolume contributor of the splitting front
+    (exact 3-objective S-metric, native C++ contributions kernel).
+
+    ``n_offsprings`` defaults to ``pop_size`` — the pymoo configuration
+    the reference runs (``tfopt/evol/opt/optrun.py:58``), so ``n_gen``
+    carries the same evaluation budget as the generational algorithms.
+    ``n_offsprings=1`` recovers the paper's original steady-state form,
+    where the multi-front case drops the worst-front member dominated by
+    the most points (the paper's d(x) criterion, Eq. 4)."""
     rng = np.random.default_rng(seed)
     xl, xu = np.asarray(xl, float), np.asarray(xu, float)
+    if n_offsprings is None:
+        n_offsprings = pop_size
 
     X = lhs_sampling(pop_size, xl, xu, rng)
     F = np.asarray(evaluate(X), float)
     n_evals = len(X)
     history = []
 
-    it = 0
-    for it in range(1, n_gen + 1):
+    gen = 0
+    for gen in range(1, n_gen + 1):
         fronts = fast_non_dominated_sort(F)
         rank = np.empty(len(F), int)
         for r, fr in enumerate(fronts):
             rank[fr] = r
-        # binary tournament on rank (random tie-break)
-        pa = _tournament(rank, rng.random(len(F)), 1, rng)
-        pb = _tournament(rank, rng.random(len(F)), 1, rng)
-        o1, _ = sbx_crossover(X[pa], X[pb], xl, xu, rng, prob=sbx_prob,
-                              eta=sbx_eta)
-        child = polynomial_mutation(o1, xl, xu, rng, eta=pm_eta)
-        F_c = np.asarray(evaluate(child), float)
-        n_evals += 1
+        pa = _tournament(rank, rng.random(len(F)), n_offsprings, rng)
+        pb = _tournament(rank, rng.random(len(F)), n_offsprings, rng)
+        o1, o2 = sbx_crossover(X[pa], X[pb], xl, xu, rng, prob=sbx_prob,
+                               eta=sbx_eta)
+        off = polynomial_mutation(np.vstack([o1, o2])[:n_offsprings],
+                                  xl, xu, rng, eta=pm_eta)
+        F_off = np.asarray(evaluate(off), float)
+        n_evals += len(off)
 
-        X_all = np.vstack([X, child])
-        F_all = np.vstack([F, F_c])
+        X_all = np.vstack([X, off])
+        F_all = np.vstack([F, F_off])
         fronts = fast_non_dominated_sort(F_all)
-        worst = fronts[-1]
-        if len(fronts) > 1:
-            # several fronts: drop the worst-front member dominated by the
-            # most points (d(x), SMS-EMOA Eq. 4)
+        if n_offsprings == 1 and len(fronts) > 1:
+            # original steady-state rule: d(x) on the worst front
+            worst = fronts[-1]
             le = (F_all[:, None, :] <= F_all[None, worst, :]).all(-1)
             lt = (F_all[:, None, :] < F_all[None, worst, :]).any(-1)
             d = (le & lt).sum(axis=0)
-            drop = worst[int(np.argmax(d))]
+            keep = np.ones(len(F_all), bool)
+            keep[worst[int(np.argmax(d))]] = False
+            X, F = X_all[keep], F_all[keep]
         else:
-            ref = F_all.max(axis=0) + 1.0
-            contrib = hv_contributions_3d(F_all[worst], ref)
-            drop = worst[int(np.argmin(contrib))]
-        keep = np.ones(len(F_all), bool)
-        keep[drop] = False
-        X, F = X_all[keep], F_all[keep]
-        if it % 50 == 0:
-            history.append((it, F.min(axis=0).copy(), F.mean(axis=0).copy()))
-            if callback is not None:
-                callback(it, X, F)
+            # fill whole fronts; iteratively remove the least HV
+            # contributor from the splitting front (exact per removal)
+            chosen: list[int] = []
+            for fr in fronts:
+                if len(chosen) + len(fr) <= pop_size:
+                    chosen.extend(fr.tolist())
+                    if len(chosen) == pop_size:
+                        break
+                    continue
+                alive = list(fr)
+                ref = F_all[alive].max(axis=0) + 1.0
+                while len(chosen) + len(alive) > pop_size:
+                    contrib = hv_contributions_3d(F_all[alive], ref)
+                    alive.pop(int(np.argmin(contrib)))
+                chosen.extend(alive)
+                break
+            idx = np.asarray(chosen[:pop_size], int)
+            X, F = X_all[idx], F_all[idx]
+
+        history.append((gen, F.min(axis=0).copy(), F.mean(axis=0).copy()))
+        if callback is not None:
+            callback(gen, X, F)
 
     fronts = fast_non_dominated_sort(F)
     pf = fronts[0]
-    return MOOResult(X, F, X[pf], F[pf], history, it, n_evals)
+    return MOOResult(X, F, X[pf], F[pf], history, gen, n_evals)
 
 
 def _agemoea_survival(X, F, n_survive):

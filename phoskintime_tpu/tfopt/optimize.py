@@ -112,8 +112,9 @@ def run_evolutionary(prob: TfoptProblem, optimizer: int = 0,
                          n_obj=3, n_partitions=12, seed=seed, ftol=0.0,
                          n_max_evals=None)
     elif optimizer == 1:
-        # steady-state, one offspring per iteration — pymoo's SMSEMOA
-        # default (n_offsprings=1), so n_gen maps 1:1
+        # generational (n_offsprings = pop_size), matching the pymoo
+        # configuration the reference runs — n_gen carries the same
+        # evaluation budget as the other codes
         res = run_smsemoa(evaluate, xl, xu, pop_size=pop_size,
                           n_gen=n_gen, seed=seed)
     elif optimizer == 2:

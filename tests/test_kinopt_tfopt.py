@@ -156,11 +156,8 @@ class TestTfopt:
         """Reference optimizer codes 1 (SMS-EMOA) / 2 (AGE-MOEA) run their
         real algorithms (tfopt/evol/opt/optrun.py:57-59)."""
         prob, *_ = tf_problem()
-        # SMS-EMOA is steady-state (1 eval/iter) -> larger n_gen for a
-        # comparable evaluation budget
-        res = tf_evol(prob, optimizer=optimizer,
-                      n_gen=1500 if optimizer == 1 else 120,
-                      pop_size=40, seed=1)
+        res = tf_evol(prob, optimizer=optimizer, n_gen=120, pop_size=40,
+                      seed=1)
         assert np.isfinite(res.loss)
         av = np.abs((res.alpha * prob.alpha_mask).sum(axis=1) - 1.0)
         has_reg = prob.alpha_mask.sum(axis=1) > 0

@@ -160,14 +160,23 @@ class TestHypervolume:
 
 
 class TestSMSEMOAandAGEMOEA:
-    def test_smsemoa_dtlz2(self):
+    def test_smsemoa_steady_state_dtlz2(self):
         from phoskintime_tpu.ops.nsga import run_smsemoa
 
         res = run_smsemoa(dtlz2, np.zeros(7), np.ones(7), pop_size=60,
-                          n_gen=1500, seed=2)
+                          n_gen=1500, n_offsprings=1, seed=2)
         norms = np.linalg.norm(res.pareto_F, axis=1)
         assert np.abs(norms - 1).mean() < 0.12
         assert res.n_evals == 60 + 1500  # steady state: one eval per iter
+
+    def test_smsemoa_generational_dtlz2(self):
+        from phoskintime_tpu.ops.nsga import run_smsemoa
+
+        res = run_smsemoa(dtlz2, np.zeros(7), np.ones(7), pop_size=48,
+                          n_gen=60, seed=2)
+        norms = np.linalg.norm(res.pareto_F, axis=1)
+        assert np.abs(norms - 1).mean() < 0.06
+        assert res.n_evals == 48 + 48 * 60  # pymoo parity: pop offspring/gen
 
     def test_agemoea_dtlz2(self):
         from phoskintime_tpu.ops.nsga import run_agemoea
@@ -186,3 +195,32 @@ class TestSMSEMOAandAGEMOEA:
         F = rng.uniform(0, 1, (15, 3))
         ref = np.array([1.2, 1.1, 1.3])
         assert hv3d(F, ref) == pytest.approx(hypervolume(F, ref), rel=1e-10)
+
+
+class TestDuplicateMask:
+    def test_f32_clone_of_f64_parent_detected(self):
+        """Regression: SBX emits f32 offspring; an f64-keyed dup check
+        never matches a cloned parent (review finding, round 2)."""
+        from phoskintime_tpu.ops.nsga import _duplicate_mask
+
+        rng = np.random.default_rng(0)
+        X = rng.random((10, 50))                    # f64 population
+        off = X[:3].astype(np.float32)              # exact f32 clones
+        off = np.vstack([off, rng.random((2, 50)).astype(np.float32)])
+        dup = _duplicate_mask(off, X)
+        assert dup.tolist() == [True, True, True, False, False]
+
+    def test_native_contributions_match_python(self):
+        from phoskintime_tpu.native import hv3d_contrib_native
+        from phoskintime_tpu.ops.nsga import hv3d
+
+        rng = np.random.default_rng(5)
+        F = rng.uniform(0, 1, (60, 3))
+        ref = np.ones(3) * 1.1
+        native = hv3d_contrib_native(F, ref)
+        if native is None:
+            pytest.skip("native library unavailable")
+        total = hv3d(F, ref)
+        py = np.array([total - hv3d(np.delete(F, i, 0), ref)
+                       for i in range(len(F))])
+        np.testing.assert_allclose(native, py, atol=1e-12)
