@@ -407,8 +407,16 @@ def kinopt_fit_analysis(prob, result, out_dir, meta=None) -> dict:
     """The full reference kinopt post-fit dashboard from a fitted result."""
     from phoskintime_tpu.io.export import kinopt_sheets
 
+    return kinopt_fit_analysis_from_sheets(
+        kinopt_sheets(prob, result, meta), out_dir)
+
+
+def kinopt_fit_analysis_from_sheets(sheets: dict, out_dir) -> dict:
+    """Same dashboard from SAVED workbook sheets — re-analysis of an
+    existing `kinopt_results.xlsx` without re-fitting (reference
+    ``kinopt/fitanalysis/__main__.py`` reads the workbook the same way).
+    Use :func:`fit_analysis_from_workbook` for the file-path entry."""
     os.makedirs(out_dir, exist_ok=True)
-    sheets = kinopt_sheets(prob, result, meta)
     obs, est, res = (sheets["Observed"], sheets["Estimated"],
                      sheets["Residuals"])
     alpha, beta = sheets["Alpha Values"], sheets["Beta Values"]
@@ -433,8 +441,15 @@ def tfopt_fit_analysis(prob, result, out_dir, max_detail=12) -> dict:
     """The full reference tfopt post-fit dashboard from a fitted result."""
     from phoskintime_tpu.io.export import tfopt_sheets
 
+    return tfopt_fit_analysis_from_sheets(tfopt_sheets(prob, result),
+                                          out_dir, max_detail=max_detail)
+
+
+def tfopt_fit_analysis_from_sheets(sheets: dict, out_dir,
+                                   max_detail=12) -> dict:
+    """Same dashboard from SAVED workbook sheets (see the kinopt
+    counterpart)."""
     os.makedirs(out_dir, exist_ok=True)
-    sheets = tfopt_sheets(prob, result)
     obs, est = sheets["Observed"], sheets["Estimated"]
     alpha, beta = sheets["Alpha Values"], sheets["Beta Values"]
     tc = _tcols(obs)
@@ -457,3 +472,34 @@ def tfopt_fit_analysis(prob, result, out_dir, max_detail=12) -> dict:
     out["top_connections"] = important_connections(
         alpha, out_dir, cols=("TF", "mRNA", "Value"))[1]
     return out
+
+
+def fit_analysis_from_workbook(path, out_dir, kind: str) -> dict:
+    """Re-run the post-fit dashboard from a SAVED results workbook (or the
+    CSV-fallback sheet files) without refitting.
+
+    Spec: reference ``kinopt/fitanalysis/__main__.py`` — it reads
+    Observed/Estimated/Alpha/Beta/Residuals back from OUT_FILE; this is
+    the same contract for both kinds, exposed via
+    ``cli fitanalysis --which kinopt|tfopt``.
+    """
+    from phoskintime_tpu.io.load import read_table
+
+    if kind == "kinopt":
+        names = ["Observed", "Estimated", "Alpha Values", "Beta Values",
+                 "Residuals"]
+    elif kind == "tfopt":
+        names = ["Observed", "Estimated", "Alpha Values", "Beta Values"]
+    else:
+        raise ValueError(f"kind must be kinopt|tfopt, got {kind!r}")
+    sheets = {}
+    for n in names:
+        df = read_table(path, sheet_name=n)
+        if df is None:
+            raise FileNotFoundError(f"sheet {n!r} of {path} not found")
+        sheets[n] = df
+    if kind == "kinopt":
+        sheets["Beta Values"]["Psite"] = (
+            sheets["Beta Values"]["Psite"].fillna(""))
+        return kinopt_fit_analysis_from_sheets(sheets, out_dir)
+    return tfopt_fit_analysis_from_sheets(sheets, out_dir)

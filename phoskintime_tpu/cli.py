@@ -67,6 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--refine", action="store_true")
     _add_common(p)
 
+    p = sub.add_parser("fitanalysis",
+                       help="re-run post-fit dashboards from a saved "
+                            "kinopt/tfopt results workbook (no refit)")
+    p.add_argument("--which", choices=["kinopt", "tfopt"], required=True)
+    p.add_argument("--file", default=None,
+                   help="results workbook (default: the configured "
+                        "out_file in data_dir)")
+    _add_common(p)
+
     p = sub.add_parser("all", help="prep -> tfopt -> kinopt -> model")
     p.add_argument("--base-dir", default=None)
     _add_common(p)
@@ -234,6 +243,24 @@ def cmd_global_model(args):
     run_global(cfg, out_dir=args.out_dir)
 
 
+def cmd_fitanalysis(args):
+    """Workbook-driven re-analysis (reference kinopt/fitanalysis
+    ``__main__`` contract: read the saved sheets, render the panels)."""
+    from phoskintime_tpu.analysis.fitpanels import fit_analysis_from_workbook
+
+    sec = load(None, args.which, args.config)
+    root = sec["_root"]
+    data_dir = os.path.join(root, sec["_paths"].get("data_dir", "data"))
+    default = os.path.join(data_dir,
+                           sec.get("out_file", f"{args.which}_results.xlsx"))
+    path = args.file or default
+    out_dir = args.out_dir or os.path.join(os.path.dirname(path),
+                                           f"{args.which}_fitanalysis")
+    out = fit_analysis_from_workbook(path, out_dir, args.which)
+    logger.info(f"[fitanalysis:{args.which}] {len(out)} panel groups -> "
+                f"{out_dir}")
+
+
 def cmd_all(args):
     if args.base_dir:
         cmd_prep(argparse.Namespace(base_dir=args.base_dir, config=args.config,
@@ -278,6 +305,7 @@ def main(argv=None):
     cmd = args.command.replace("-", "_")
     {"prep": cmd_prep, "tfopt": cmd_tfopt, "kinopt": cmd_kinopt,
      "model": cmd_model, "global_model": cmd_global_model,
+     "fitanalysis": cmd_fitanalysis,
      "all": cmd_all, "clean": cmd_clean}[cmd](args)
 
 

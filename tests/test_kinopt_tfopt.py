@@ -260,3 +260,30 @@ class TestResultApps:
         ihtml = open(os.path.join(str(tmp_path),
                                   "tfopt_interactive.html")).read()
         assert "__FITDATA__" in ihtml and "Knockout simulator" in ihtml
+
+
+class TestWorkbookFitAnalysis:
+    def test_kinopt_reanalysis_from_saved_workbook(self, tmp_path):
+        import os
+
+        """`cli fitanalysis` contract: re-run the dashboard from saved
+        sheets without refitting (reference kinopt/fitanalysis/__main__)."""
+        from phoskintime_tpu.analysis.fitpanels import (
+            fit_analysis_from_workbook)
+        from phoskintime_tpu.io.export import export_kinopt_results
+
+        prob, a_true, b_true = kin_problem()
+        res = kin_local(prob, n_starts=4, steps=150, seed=0)
+        wb = str(tmp_path / "kinopt_results.xlsx")
+        export_kinopt_results(wb, prob, res)
+        out = fit_analysis_from_workbook(wb, str(tmp_path / "fa"), "kinopt")
+        assert {"gof", "kld", "params", "residuals",
+                "top_connections"} <= set(out)
+        assert os.path.getsize(tmp_path / "fa" / "Goodness_of_Fit.png") > 5000
+
+    def test_unknown_kind_raises(self, tmp_path):
+        from phoskintime_tpu.analysis.fitpanels import (
+            fit_analysis_from_workbook)
+
+        with pytest.raises(ValueError):
+            fit_analysis_from_workbook("x.xlsx", str(tmp_path), "nope")
