@@ -145,6 +145,7 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
     if refine and num_refinements > 0:
         rng = np.random.default_rng(seed + 1)
         cur = res
+        total_evals = res.n_evals
         cur_xl, cur_xu = np.asarray(xl, float), np.asarray(xu, float)
         for _ in range(num_refinements):
             new_xl, new_xu = get_refined_bounds(cur.pareto_X, cur_xl, cur_xu,
@@ -154,10 +155,14 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
             nxt = run_unsga3(evaluate, new_xl, new_xu, pop_size=pop,
                              n_gen=max(10, n_gen // 4), seed=seed + 2,
                              x0=x0, ftol=ftol, ftol_period=ftol_period)
+            total_evals += nxt.n_evals
             if nxt.pareto_F.min(axis=0).sum() >= cur.pareto_F.min(axis=0).sum():
                 break  # no improvement -> stop refining
             cur, cur_xl, cur_xu = nxt, new_xl, new_xu
-        res = cur
+        # n_evals must cover the WHOLE fit, not just the last round
+        import dataclasses as _dc
+
+        res = _dc.replace(cur, n_evals=total_evals)
 
     # ---- Frechet-distance solution picking --------------------------------
     best_idx, scores = 0, np.zeros(len(res.pareto_X))
