@@ -208,6 +208,15 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
     if tp is not None and tr is not None and tph is not None:
         plot_gof_solutions(tp, tr, tph, df_prot, df_rna, df_pho,
                            os.path.join(out_dir, "gof_solutions"))
+        # interactive Pareto explorer: objective scatter with clickable
+        # members -> per-solution fit curves (single HTML, no server)
+        from phoskintime_tpu.report.interactive import (
+            pareto_explorer_from_frames)
+
+        pareto_explorer_from_frames(
+            os.path.join(out_dir, "pareto_interactive.html"),
+            res.pareto_F, res.best_idx, tp, tr, tph,
+            df_prot, df_rna, df_pho)
     if topo.total_sites:
         plot_s_rates_report(os.path.join(out_dir, "S_rates_picked.csv"),
                             os.path.join(out_dir, "S_rates_report.pdf"))

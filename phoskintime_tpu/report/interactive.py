@@ -322,3 +322,241 @@ edges, double-click to reset, hover for weights</h2>
     with open(path, "w") as fh:
         fh.write(html)
     return path
+
+
+_PARETO_JS = """
+'use strict';
+var D = window.__PARETODATA__;
+var OBJ = D.obj_names;
+
+function el(tag, attrs) {
+  var e = document.createElementNS('http://www.w3.org/2000/svg', tag);
+  for (var k in (attrs || {})) e.setAttribute(k, attrs[k]);
+  return e;
+}
+
+var selSol = D.best_idx;
+
+// ---- objective-pair scatter ----------------------------------------------
+var axX = document.getElementById('ax-x'), axY = document.getElementById('ax-y');
+OBJ.forEach(function (n, i) {
+  var o1 = document.createElement('option'); o1.value = i; o1.textContent = n;
+  var o2 = document.createElement('option'); o2.value = i; o2.textContent = n;
+  axX.appendChild(o1); axY.appendChild(o2);
+});
+axX.value = 0; axY.value = 1;
+
+function drawScatter() {
+  var svg = document.getElementById('pareto-svg');
+  while (svg.firstChild) svg.removeChild(svg.firstChild);
+  var W = +svg.getAttribute('width'), H = +svg.getAttribute('height');
+  var m = {l: 60, r: 14, t: 10, b: 40};
+  var xi = +axX.value, yi = +axY.value;
+  var xs = D.F.map(function (f) { return f[xi]; });
+  var ys = D.F.map(function (f) { return f[yi]; });
+  var x0 = Math.min.apply(null, xs), x1 = Math.max.apply(null, xs);
+  var y0 = Math.min.apply(null, ys), y1 = Math.max.apply(null, ys);
+  if (!(x0 < x1)) { x0 -= 1; x1 += 1; }
+  if (!(y0 < y1)) { y0 -= 1; y1 += 1; }
+  var X = function (v) { return m.l + (W - m.l - m.r) * (v - x0) / (x1 - x0); };
+  var Y = function (v) { return H - m.b - (H - m.t - m.b) * (v - y0) / (y1 - y0); };
+  svg.appendChild(el('line', {x1: m.l, y1: H - m.b, x2: W - m.r, y2: H - m.b,
+    stroke: '#b9c0cc'}));
+  svg.appendChild(el('line', {x1: m.l, y1: m.t, x2: m.l, y2: H - m.b,
+    stroke: '#b9c0cc'}));
+  var tx = el('text', {x: (W) / 2, y: H - 8, 'text-anchor': 'middle',
+    'font-size': 12, fill: '#444'});
+  tx.textContent = OBJ[xi]; svg.appendChild(tx);
+  var ty = el('text', {x: 14, y: H / 2, 'font-size': 12, fill: '#444',
+    transform: 'rotate(-90 14 ' + (H / 2) + ')', 'text-anchor': 'middle'});
+  ty.textContent = OBJ[yi]; svg.appendChild(ty);
+  D.F.forEach(function (f, i) {
+    var has = D.sols.hasOwnProperty(String(i));
+    var c = el('circle', {cx: X(f[xi]), cy: Y(f[yi]),
+      r: i === selSol ? 8 : (has ? 6 : 3.5),
+      fill: i === selSol ? '#d1342f' : (has ? '#1461d6' : '#8d99ae'),
+      stroke: '#fff', 'stroke-width': 1, cursor: has ? 'pointer' : 'default'});
+    var ti = el('title');
+    ti.textContent = 'solution ' + i + '\\n' + OBJ.map(function (n, k) {
+      return n + ' = ' + f[k].toPrecision(5); }).join('\\n')
+      + (has ? '\\n(click to inspect curves)' : '');
+    c.appendChild(ti);
+    if (has) c.addEventListener('click', function () {
+      selSol = i; drawScatter(); showCurve();
+    });
+    svg.appendChild(c);
+  });
+  document.getElementById('sel-label').textContent = selSol;
+}
+axX.addEventListener('change', drawScatter);
+axY.addEventListener('change', drawScatter);
+
+// ---- curve panel for the selected solution --------------------------------
+var curveSel = document.getElementById('pcurve-select');
+D.curve_names.forEach(function (nm, i) {
+  var o = document.createElement('option');
+  o.value = i; o.textContent = nm; curveSel.appendChild(o);
+});
+function showCurve() {
+  var sol = D.sols[String(selSol)];
+  var svg = document.getElementById('pcurve-svg');
+  while (svg.firstChild) svg.removeChild(svg.firstChild);
+  if (!sol) return;
+  var ci = +curveSel.value;
+  var pred = sol[ci];
+  var obs = D.obs[ci];                 // may be null
+  var times = D.times;
+  var W = +svg.getAttribute('width'), H = +svg.getAttribute('height');
+  var m = {l: 48, r: 12, t: 12, b: 26};
+  var all = pred.slice();
+  if (obs) obs.forEach(function (p) { all.push(p[1]); });
+  var lo = Math.min.apply(null, all), hi = Math.max.apply(null, all);
+  if (!(lo < hi)) { lo -= 1; hi += 1; }
+  var pad = (hi - lo) * 0.08; lo -= pad; hi += pad;
+  var tmax = times[times.length - 1] || 1;
+  var X = function (t) { return m.l + (W - m.l - m.r) * t / tmax; };
+  var Y = function (v) { return H - m.b - (H - m.t - m.b) * (v - lo) / (hi - lo); };
+  svg.appendChild(el('line', {x1: m.l, y1: H - m.b, x2: W - m.r, y2: H - m.b,
+    stroke: '#b9c0cc'}));
+  svg.appendChild(el('line', {x1: m.l, y1: m.t, x2: m.l, y2: H - m.b,
+    stroke: '#b9c0cc'}));
+  for (var g = 0; g <= 4; g++) {
+    var v = lo + (hi - lo) * g / 4, yy = Y(v);
+    var t = el('text', {x: m.l - 6, y: yy + 4, 'text-anchor': 'end',
+      'font-size': 10, fill: '#68728a'});
+    t.textContent = v.toPrecision(3); svg.appendChild(t);
+  }
+  var d = pred.map(function (v, i) {
+    return (i ? 'L' : 'M') + X(times[i]).toFixed(1) + ',' + Y(v).toFixed(1);
+  }).join(' ');
+  svg.appendChild(el('path', {d: d, fill: 'none', stroke: '#1461d6',
+    'stroke-width': 2.2}));
+  if (obs) obs.forEach(function (p) {
+    svg.appendChild(el('circle', {cx: X(p[0]), cy: Y(p[1]), r: 3,
+      fill: '#8d99ae'}));
+  });
+}
+curveSel.addEventListener('change', showCurve);
+drawScatter();
+showCurve();
+"""
+
+
+def write_pareto_explorer(path, *, pareto_F, best_idx, times, curve_names,
+                          sol_curves, obs_points,
+                          obj_names=("protein MSE", "RNA MSE",
+                                     "phospho MSE")) -> str:
+    """Interactive Pareto-front explorer for the global model: an
+    objective-pair scatter (axis dropdowns, hover values) where members
+    with exported trajectories are CLICKABLE — selecting one renders its
+    predicted curves against the observations.
+
+    Goes beyond the reference's static dashboard
+    (``global_model/dashboard_app/bundle.py``) while staying a single
+    dependency-free HTML file.
+
+    Args:
+      pareto_F: (P, n_obj) objectives.
+      sol_curves: {sol_id: (C, T) predicted series per curve}.
+      obs_points: list of C entries, each None or [(t, value), ...].
+    """
+    F = np.asarray(pareto_F, float)
+    sols = {str(int(k)): [_round(np.asarray(v)[c])
+                          for c in range(len(curve_names))]
+            for k, v in sol_curves.items()}
+    obs = [None if o is None else [[float(t), float(v)] for t, v in o]
+           for o in obs_points]
+    data = {"F": [_round(f) for f in F], "best_idx": int(best_idx),
+            "obj_names": list(obj_names), "times": _round(times),
+            "curve_names": [str(c) for c in curve_names],
+            "sols": sols, "obs": obs}
+
+    html = f"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8">
+<title>Pareto explorer</title><style>{_CSS}</style></head>
+<body>
+<header><h1>Global-model Pareto explorer</h1>
+<div class="sub">{len(F)} front members — blue points carry exported
+trajectories (click to inspect); red = selected</div></header>
+<div class="wrap">
+<div class="card"><h2>Objective space</h2>
+<div class="row">x: <select id="ax-x"></select>
+y: <select id="ax-y"></select>
+<span class="stat">selected solution <b id="sel-label">-</b></span></div>
+<svg id="pareto-svg" width="1100" height="430"></svg></div>
+<div class="card"><h2>Fit curves of the selected solution</h2>
+<div class="row"><select id="pcurve-select"></select></div>
+<svg id="pcurve-svg" width="1100" height="300"></svg>
+<div class="legend"><span><i class="dot" style="background:#1461d6"></i>
+predicted</span><span><i class="dot" style="background:#8d99ae"></i>
+observed</span></div></div>
+</div>
+<script>window.__PARETODATA__ = {json.dumps(data)};</script>
+<script>{_PARETO_JS}</script>
+</body></html>
+"""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(html)
+    return path
+
+
+def pareto_explorer_from_frames(path, pareto_F, best_idx, traj_prot,
+                                traj_rna, traj_pho, df_prot=None,
+                                df_rna=None, df_pho=None) -> str:
+    """Build :func:`write_pareto_explorer` inputs from the tidy
+    per-solution trajectory frames of
+    :func:`phoskintime_tpu.io.export.export_pareto_trajectories` plus the
+    observed data frames (schema: protein/(psite)/time/fc)."""
+    import pandas as pd
+
+    times = np.unique(traj_prot["time"].to_numpy(float))
+    t_index = {float(t): i for i, t in enumerate(times)}
+    proteins = sorted(set(traj_prot["protein"].astype(str)))
+    sites = (sorted({(str(p), str(s)) for p, s in
+                     zip(traj_pho["protein"], traj_pho["psite"])})
+             if traj_pho is not None and len(traj_pho) else [])
+
+    curve_names = ([f"{p} (protein)" for p in proteins]
+                   + [f"{p} (mRNA)" for p in proteins]
+                   + [f"{p}:{s} (phospho)" for p, s in sites])
+    C, T = len(curve_names), len(times)
+    c_index = {n: i for i, n in enumerate(curve_names)}
+
+    sol_ids = sorted(set(traj_prot["sol_id"].astype(int)))
+    sol_curves = {}
+    for sid in sol_ids:
+        M = np.zeros((C, T))
+        for frame, kind in [(traj_prot, "protein"), (traj_rna, "mRNA")]:
+            sub = frame[frame["sol_id"] == sid]
+            for p, g in sub.groupby("protein"):
+                row = c_index[f"{p} ({kind})"]
+                for t, v in zip(g["time"], g["pred_fc"]):
+                    M[row, t_index[float(t)]] = float(v)
+        if traj_pho is not None and len(traj_pho):
+            sub = traj_pho[traj_pho["sol_id"] == sid]
+            for (p, s), g in sub.groupby(["protein", "psite"]):
+                row = c_index[f"{p}:{s} (phospho)"]
+                for t, v in zip(g["time"], g["pred_fc"]):
+                    M[row, t_index[float(t)]] = float(v)
+        sol_curves[int(sid)] = M
+
+    obs_points = [None] * C
+    for df, fmt, keys in [(df_prot, "{} (protein)", ["protein"]),
+                          (df_rna, "{} (mRNA)", ["protein"]),
+                          (df_pho, "{}:{} (phospho)", ["protein", "psite"])]:
+        if df is None or len(df) == 0:
+            continue
+        for key, g in df.groupby(keys):
+            key = key if isinstance(key, tuple) else (key,)
+            name = fmt.format(*key)
+            row = c_index.get(name)
+            if row is None:
+                continue
+            obs_points[row] = list(zip(g["time"].astype(float),
+                                       g["fc"].astype(float)))
+
+    return write_pareto_explorer(
+        path, pareto_F=pareto_F, best_idx=best_idx, times=times,
+        curve_names=curve_names, sol_curves=sol_curves,
+        obs_points=obs_points)

@@ -141,6 +141,7 @@ class TestCLI:
                    for f in os.listdir(out))
         gofs = list((out / "gof_solutions").glob("gof_sol*.png"))
         assert len(gofs) >= 1
+        assert "__PARETODATA__" in (out / "pareto_interactive.html").read_text()
 
     def test_clean(self, project):
         _run(project, ["clean"])

@@ -199,3 +199,47 @@ class TestParetoTrajectoriesGOF:
                                    str(tmp_path / "gof"))
         assert len(paths) == 2
         assert all(os.path.getsize(p) > 10000 for p in paths)
+
+
+class TestParetoInteractive:
+    def test_explorer_from_frames(self, tmp_path):
+        import json
+
+        from phoskintime_tpu.io.export import export_pareto_trajectories
+        from phoskintime_tpu.io.load import read_table
+        from phoskintime_tpu.network import default_params, init_raw_params
+        from phoskintime_tpu.report.interactive import (
+            pareto_explorer_from_frames)
+
+        sys = small_system()
+        defaults = default_params(sys.topo, np.float32)
+        bounds = {k: (1e-3, 4.0) for k in
+                  ["c_k", "A_i", "B_i", "C_i", "D_i", "Dp_i", "E_i",
+                   "tf_scale"]}
+        theta0, slices, *_ = init_raw_params(defaults, sys.topo, bounds)
+        rng = np.random.default_rng(0)
+        X = theta0[None] + 0.1 * rng.normal(size=(4, len(theta0)))
+        F = np.abs(rng.normal(1, 0.3, (4, 3)))
+
+        path = str(tmp_path / "pareto_trajectories.xlsx")
+        export_pareto_trajectories(sys, slices, X, (GRID, GRID), path,
+                                   top_idx=[0, 2])
+        tp = read_table(path, sheet_name="traj_protein")
+        tr = read_table(path, sheet_name="traj_rna")
+        tph = read_table(path, sheet_name="traj_phospho")
+        obs_p = pd.DataFrame({"protein": "GA", "time": GRID,
+                              "fc": 1.0 + 0.1 * GRID / GRID.max()})
+        out = pareto_explorer_from_frames(
+            str(tmp_path / "pareto_interactive.html"), F, 0, tp, tr, tph,
+            obs_p, None, None)
+        html_text = open(out).read()
+        assert "__PARETODATA__" in html_text
+        data = json.loads(html_text.split("window.__PARETODATA__ = ", 1)[1]
+                          .split(";</script>", 1)[0])
+        assert len(data["F"]) == 4
+        assert set(data["sols"]) == {"0", "2"}
+        n_curves = len(data["curve_names"])
+        assert all(len(data["sols"][k]) == n_curves for k in data["sols"])
+        # GA protein curve carries the observed points
+        gi = data["curve_names"].index("GA (protein)")
+        assert data["obs"][gi] is not None and len(data["obs"][gi]) == len(GRID)
