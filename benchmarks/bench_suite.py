@@ -265,7 +265,9 @@ def _observable_recovery(b, theta_best):
     both = {k: jnp.stack([jnp.asarray(b["true"][k], jnp.float32),
                           jnp.asarray(v, jnp.float32)])
             for k, v in fit_p.items()}
-    ys, _ = exponential_simulate_batched(system, both, times)
+    ys, success = exponential_simulate_batched(system, both, times)
+    assert bool(np.all(np.asarray(success))), \
+        "integration failed for truth or fitted model"
 
     def fcs(Y):
         return fold_changes(extract_observables(system, Y),

@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="re-run post-fit dashboards from a saved "
                             "kinopt/tfopt results workbook (no refit)")
     p.add_argument("--which", choices=["kinopt", "tfopt"], required=True)
+    p.add_argument("--mode", choices=["local", "evol"], default="local",
+                   help="resolve mode-scoped config overrides (out_file "
+                        "may live under [<which>.modes.<mode>])")
     p.add_argument("--file", default=None,
                    help="results workbook (default: the configured "
                         "out_file in data_dir)")
@@ -248,7 +251,9 @@ def cmd_fitanalysis(args):
     ``__main__`` contract: read the saved sheets, render the panels)."""
     from phoskintime_tpu.analysis.fitpanels import fit_analysis_from_workbook
 
-    sec = load(None, args.which, args.config)
+    # the same mode-merged view cmd_kinopt/cmd_tfopt write through, so a
+    # mode-scoped out_file resolves to where the fit actually wrote it
+    sec = load(args.mode, args.which, args.config)
     root = sec["_root"]
     data_dir = os.path.join(root, sec["_paths"].get("data_dir", "data"))
     default = os.path.join(data_dir,

@@ -63,12 +63,13 @@ def get_lib():
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_int,
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
-    lib.hv3d_contrib.restype = None
-    lib.hv3d_contrib.argtypes = [
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-        ctypes.c_int,
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
+    if hasattr(lib, "hv3d_contrib"):  # absent in a stale prebuilt .so
+        lib.hv3d_contrib.restype = None
+        lib.hv3d_contrib.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
     lib.associate.restype = None
     lib.associate.argtypes = [
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),

@@ -197,6 +197,7 @@ extern "C" {
 // Leave-one-out hypervolume contributions of F (n, 3) w.r.t. ref (3,).
 // out (n,). O(n^2 log n) total.
 void hv3d_contrib(const double* F, int n, const double* ref, double* out) {
+    if (n <= 0) return;  // vector(n-1) would throw across the C boundary
     std::vector<int32_t> all(n);
     for (int i = 0; i < n; ++i) all[i] = i;
     double total = hv3d_of(F, all, ref);

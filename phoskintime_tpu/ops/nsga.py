@@ -517,6 +517,10 @@ def hv_contributions_3d(F: np.ndarray, ref: np.ndarray) -> np.ndarray:
     staircase sweep, O(n^2 log n) — the pure-Python fallback rebuilds
     the staircase per slab and is O(n^3)-ish, fine only for small n)."""
     F = np.asarray(F, float)
+    if F.ndim != 2 or F.shape[1] != 3:
+        raise ValueError(f"hv_contributions_3d expects (n, 3); got {F.shape}")
+    if len(F) == 0:
+        return np.empty(0)
     from phoskintime_tpu.native import hv3d_contrib_native
 
     native = hv3d_contrib_native(F, np.asarray(ref, float))
@@ -542,7 +546,13 @@ def run_smsemoa(evaluate, xl, xu, pop_size=100, n_gen=1000,
     carries the same evaluation budget as the generational algorithms.
     ``n_offsprings=1`` recovers the paper's original steady-state form,
     where the multi-front case drops the worst-front member dominated by
-    the most points (the paper's d(x) criterion, Eq. 4)."""
+    the most points (the paper's d(x) criterion, Eq. 4).
+
+    Cost note: the splitting-front truncation recomputes exact
+    contributions after EVERY removal (k removals x O(n^2 log n) native)
+    — the same exactness/cost trade pymoo's LeastHypervolume survival
+    makes. For big populations prefer n_offsprings=1 (one removal per
+    iteration) or UNSGA3."""
     rng = np.random.default_rng(seed)
     xl, xu = np.asarray(xl, float), np.asarray(xu, float)
     if n_offsprings is None:
