@@ -96,6 +96,23 @@ class TestGlobalFit:
         assert len(res.pareto_X) >= 1
         assert np.all(np.isfinite(res.pareto_F))
 
+    def test_refined_fit_counts_all_evals(self):
+        """Regression: after bound-zoom refinement n_evals must sum every
+        round, not just the last (review finding, round 2)."""
+        sys, topo, true, dfp, dfr, dfph, ld, grid = tiny_problem()
+        defaults = default_params(topo)
+        bounds = {"c_k": (1e-3, 4.0), "A_i": (1e-3, 4.0), "B_i": (1e-3, 4.0),
+                  "C_i": (1e-3, 4.0), "D_i": (1e-3, 4.0), "Dp_i": (0.05, 5.0),
+                  "E_i": (1e-4, 4.0), "tf_scale": (0.5, 6.0)}
+        theta0, slices, xl, xu = init_raw_params(defaults, topo, bounds)
+        lambdas = {"protein": 1.0, "rna": 1.0, "phospho": 1.0, "prior": 0.0}
+        res = run_global_fit(sys, slices, ld, defaults, lambdas, grid, xl, xu,
+                             pop=16, n_gen=8, seed=0, ftol=0.0,
+                             refine=True, num_refinements=1,
+                             frechet_pick=False)
+        # main run: 16 x (8+1); refinement round adds at least one 16-batch
+        assert res.n_evals > 16 * 9
+
     def test_refinement_helpers(self):
         rng = np.random.default_rng(0)
         X = rng.uniform(0.4, 0.6, (10, 5))
