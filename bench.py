@@ -29,6 +29,15 @@ def tpu_rate():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache (parity with the reference's Numba disk
+    # caches); the throughput loop is warmed up either way
+    try:
+        from phoskintime_tpu.parallel.profile import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
     from phoskintime_tpu.demo import build_demo_network
     from phoskintime_tpu.network.objective import make_population_objective
 
