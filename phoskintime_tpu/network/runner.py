@@ -245,6 +245,15 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
     # ---- 10. steady-state check (7 days) ----------------------------------
     ss = simulate_until_steady(system, params_best, y0=y0)
     dom = kinase_dominance(system, params_best)
+
+    # functional-influence networks at the fitted optimum: temporal edge
+    # sweep, seed cascades, time-slider HTML (reference
+    # scripts/compare_mechanisms.py network-exploration capability)
+    from phoskintime_tpu.analysis.influence import export_influence_sweep
+
+    export_influence_sweep(system, params_best,
+                           os.path.join(out_dir, "influence"),
+                           seeds=list(topo.kinases[:2]))
     pd.DataFrame({"protein": topo.proteins, "converged": ss.converged,
                   "final_rate": ss.final_rate, "ss_value": ss.ss_value}
                  ).to_csv(os.path.join(out_dir, "steady_state_check.csv"),

@@ -312,3 +312,78 @@ class TestNetworkViz:
         import os
         for p in (p1, p2, p3):
             assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+class TestInfluenceNetworks:
+    """State-dependent functional-influence analysis
+    (reference scripts/compare_mechanisms.py:1063-2100)."""
+
+    def _system(self):
+        import pandas as pd
+
+        from phoskintime_tpu.network import (GlobalSystem,
+                                             build_kinase_matrix,
+                                             build_topology, default_params)
+
+        grid = np.array([0.0, 1.0, 4.0, 16.0, 60.0, 120.0])
+        inter = pd.DataFrame({
+            "protein": ["GA", "GA", "GB", "KIN1"],
+            "psite": ["S10", "T20", "S5", "S99"],
+            "kinase": ["KIN1", "KIN2", "KIN1", "KIN2"],
+        })
+        tf = pd.DataFrame({"tf": ["GA", "GB"], "target": ["GB", "GA"]})
+        topo = build_topology(inter, tf, model=0)
+        Kmat = build_kinase_matrix(topo.kinases, None, grid)
+        Kmat = Kmat * (1.0 + 0.2 * np.arange(len(grid))[None, :])
+        sys_ = GlobalSystem(topo, grid, Kmat)
+        import jax.numpy as jnp
+
+        params = {k: jnp.asarray(v)
+                  for k, v in default_params(topo).items()}
+        return sys_, params, grid
+
+    def test_edge_weights_match_direct_flux(self):
+        from phoskintime_tpu.analysis.influence import (
+            influence_edges_sweep, state_sweep)
+
+        sys_, params, grid = self._system()
+        times, Y = state_sweep(sys_, params, grid[:3])
+        edges = influence_edges_sweep(sys_, params, times, Y)
+        assert set(edges["kind"]) == {"phospho", "tf"}
+        # oracle one edge: KIN1 -> GA:S10 at t=grid[1]
+        topo = sys_.topo
+        i = topo.p2i["GA"]
+        j = topo.sites[i].index("S10")
+        k = topo.k2i["KIN1"]
+        t = float(times[1])
+        jb = int(np.clip(np.searchsorted(
+            np.asarray(sys_.kin_grid, float), t, side="right") - 1, 0,
+            np.asarray(sys_.Kmat).shape[1] - 1))
+        Kt = np.asarray(sys_.Kmat)[k, jb] * float(np.asarray(params["c_k"])[k])
+        expect = float(np.asarray(topo.W_pad)[i, j, k]) * Kt * Y[1, i, 1]
+        row = edges[(edges.time == t) & (edges.kind == "phospho")
+                    & (edges.src == "KIN1") & (edges.dst == "GA")
+                    & (edges.site == "S10")]
+        assert len(row) == 1
+        assert float(row["weight"].iloc[0]) == pytest.approx(expect, rel=1e-9)
+
+    def test_cascade_and_exports(self, tmp_path):
+        import os
+
+        from phoskintime_tpu.analysis.influence import (
+            cascade_from_seed, export_influence_sweep)
+
+        sys_, params, grid = self._system()
+        out = export_influence_sweep(sys_, params, str(tmp_path),
+                                     times=grid[:4], seeds=["KIN1"],
+                                     depth=3)
+        assert os.path.getsize(out["sweep_csv"]) > 200
+        import pandas as pd
+
+        cas = pd.read_csv(out["cascades"]["KIN1"])
+        assert len(cas) > 0
+        # depth-1 edges all start at the seed; influence decays with depth
+        assert set(cas[cas.depth == 1]["src"]) == {"KIN1"}
+        assert cas["influence"].max() <= 1.0 + 1e-12
+        html = open(out["html"]).read()
+        assert "__INFLDATA__" in html and "t-slider" in html
