@@ -268,3 +268,85 @@ phospho flux, amber = TF synthesis drive</div></header>
     with open(path, "w") as fh:
         fh.write(html)
     return path
+
+
+def export_global_knockout_explorer(system, params, out_path,
+                                    times=None) -> str:
+    """Interactive global-model knockout explorer: each kinase's drive is
+    zeroed in turn and the FULL network re-simulated — all scenarios plus
+    the wild type as ONE batched exponential simulation — then rendered
+    with the same single-file explorer used for kinopt/tfopt (curve
+    browser, before/after knockout overlays, network view).
+
+    Spec: the global-knockout preview capability of the reference's
+    mechanism-comparison app (``scripts/compare_mechanisms.py`` knockout
+    sweep + gravis rendering).
+    """
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.network.expo import exponential_simulate_batched
+    from phoskintime_tpu.network.simulate import (extract_observables,
+                                                  fold_changes)
+    from phoskintime_tpu.report.interactive import write_interactive_explorer
+
+    topo = system.topo
+    if times is None:
+        times = np.asarray(system.kin_grid, float)
+    times = np.asarray(times, float)
+    K = topo.K
+
+    ck = np.asarray(params["c_k"], float)
+    ck_b = np.vstack([ck[None], np.repeat(ck[None], K, 0)])
+    for k in range(K):
+        ck_b[1 + k, k] = 0.0                  # scenario k+1: kinase k out
+    params_b = {key: (jnp.asarray(ck_b) if key == "c_k"
+                      else jnp.asarray(np.repeat(
+                          np.asarray(v)[None], K + 1, 0)))
+                for key, v in params.items()}
+
+    ys, _ = exponential_simulate_batched(system, params_b, times)
+
+    def fcs(Y):
+        import jax
+
+        return jax.vmap(lambda y: fold_changes(
+            extract_observables(system, y), jnp.asarray(times)))(Y)
+
+    fc_r, fc_p, fc_ph = (np.asarray(a, float) for a in fcs(ys))
+    smask = np.asarray(topo.site_mask(), bool)
+
+    curve_names, rows_wt, rows_ko = [], [], []
+    for i, p in enumerate(topo.proteins):
+        curve_names.append(f"{p} (protein)")
+        rows_wt.append(fc_p[0, :, i])
+        rows_ko.append(fc_p[1:, :, i])
+        curve_names.append(f"{p} (mRNA)")
+        rows_wt.append(fc_r[0, :, i])
+        rows_ko.append(fc_r[1:, :, i])
+        for j, s in enumerate(topo.sites[i]):
+            curve_names.append(f"{p}:{s}")
+            rows_wt.append(fc_ph[0, :, i, j])
+            rows_ko.append(fc_ph[1:, :, i, j])
+    est = np.stack(rows_wt)                              # (C, T)
+    ko_est = np.stack(rows_ko, axis=1)                   # (K, C, T)
+
+    # static control edges for the network panel
+    W = np.asarray(topo.W_pad, float)
+    edge_rows = []
+    for i, p in enumerate(topo.proteins):
+        for j, s in enumerate(topo.sites[i]):
+            for k, kin in enumerate(topo.kinases):
+                if W[i, j, k] > 0:
+                    edge_rows.append((kin, f"{p}:{s}", W[i, j, k]))
+    tf_mat = np.asarray(topo.tf_mat, float)
+    src_i, tgt_i = np.nonzero(tf_mat.T)
+    for s_, i in zip(src_i, tgt_i):
+        edge_rows.append((topo.proteins[s_], f"{topo.proteins[i]} (protein)",
+                          tf_mat[i, s_]))
+    edges = pd.DataFrame(edge_rows, columns=["source", "target", "weight"])
+
+    return write_interactive_explorer(
+        out_path, title="global-model knockout explorer",
+        times=times, curve_names=curve_names, obs=None, est=est,
+        ko_names=[f"ΔKinase {k}" for k in topo.kinases], ko_est=ko_est,
+        network_edges=edges, source_layer_names=set(topo.kinases))

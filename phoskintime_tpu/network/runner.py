@@ -249,11 +249,17 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
     # functional-influence networks at the fitted optimum: temporal edge
     # sweep, seed cascades, time-slider HTML (reference
     # scripts/compare_mechanisms.py network-exploration capability)
-    from phoskintime_tpu.analysis.influence import export_influence_sweep
+    from phoskintime_tpu.analysis.influence import (
+        export_global_knockout_explorer,
+        export_influence_sweep,
+    )
 
     export_influence_sweep(system, params_best,
                            os.path.join(out_dir, "influence"),
                            seeds=list(topo.kinases[:2]))
+    export_global_knockout_explorer(
+        system, params_best,
+        os.path.join(out_dir, "influence", "global_knockouts.html"))
     pd.DataFrame({"protein": topo.proteins, "converged": ss.converged,
                   "final_rate": ss.final_rate, "ss_value": ss.ss_value}
                  ).to_csv(os.path.join(out_dir, "steady_state_check.csv"),

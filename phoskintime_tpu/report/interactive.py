@@ -112,14 +112,19 @@ D.curves.forEach(function (c, i) {
 });
 function showCurve() {
   var c = D.curves[+curveSel.value];
-  drawSeries(document.getElementById('curve-svg'), D.times, [
-    {y: c.obs, color: '#8d99ae', width: 1.5, marker: true},
-    {y: c.est, color: '#1461d6', width: 2.2}
-  ]);
-  var resid = c.est.map(function (v, i) { return v - c.obs[i]; });
-  var rmse = Math.sqrt(resid.reduce(function (a, r) { return a + r * r; }, 0)
-                       / resid.length);
-  document.getElementById('curve-rmse').textContent = rmse.toPrecision(4);
+  var series = [];
+  if (c.obs) series.push({y: c.obs, color: '#8d99ae', width: 1.5,
+                          marker: true});
+  series.push({y: c.est, color: '#1461d6', width: 2.2});
+  drawSeries(document.getElementById('curve-svg'), D.times, series);
+  if (c.obs) {
+    var resid = c.est.map(function (v, i) { return v - c.obs[i]; });
+    var rmse = Math.sqrt(resid.reduce(function (a, r) { return a + r * r; },
+                                      0) / resid.length);
+    document.getElementById('curve-rmse').textContent = rmse.toPrecision(4);
+  } else {
+    document.getElementById('curve-rmse').textContent = '-';
+  }
 }
 curveSel.addEventListener('change', showCurve);
 
@@ -147,11 +152,12 @@ function showKO() {
   var pick = k.top[Math.min(koTargetIdx, k.top.length - 1)];
   if (!pick) return;
   var c = D.curves[pick.c];
-  drawSeries(document.getElementById('ko-svg'), D.times, [
-    {y: c.obs, color: '#8d99ae', width: 1.2, marker: true},
-    {y: c.est, color: '#1461d6', width: 2},
-    {y: pick.ko, color: '#d1342f', width: 2, dash: '6 4'}
-  ]);
+  var series = [];
+  if (c.obs) series.push({y: c.obs, color: '#8d99ae', width: 1.2,
+                          marker: true});
+  series.push({y: c.est, color: '#1461d6', width: 2});
+  series.push({y: pick.ko, color: '#d1342f', width: 2, dash: '6 4'});
+  drawSeries(document.getElementById('ko-svg'), D.times, series);
   document.getElementById('ko-total').textContent =
     k.total.toPrecision(4);
 }
@@ -247,12 +253,13 @@ def write_interactive_explorer(path, *, title, times, curve_names, obs, est,
         (source, target, weight).
       source_layer_names: set of node ids to place on the regulator layer.
     """
-    obs = np.asarray(obs, float)
     est = np.asarray(est, float)
     ko_est = np.asarray(ko_est, float)
     C = len(curve_names)
+    obs = None if obs is None else np.asarray(obs, float)
 
-    curves = [{"name": str(curve_names[c]), "obs": _round(obs[c]),
+    curves = [{"name": str(curve_names[c]),
+               "obs": None if obs is None else _round(obs[c]),
                "est": _round(est[c])} for c in range(C)]
 
     knockouts = []

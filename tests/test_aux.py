@@ -387,3 +387,26 @@ class TestInfluenceNetworks:
         assert cas["influence"].max() <= 1.0 + 1e-12
         html = open(out["html"]).read()
         assert "__INFLDATA__" in html and "t-slider" in html
+
+    def test_global_knockout_explorer(self, tmp_path):
+        import json
+        import os
+
+        from phoskintime_tpu.analysis.influence import (
+            export_global_knockout_explorer)
+
+        sys_, params, grid = self._system()
+        out = export_global_knockout_explorer(
+            sys_, params, str(tmp_path / "global_knockouts.html"),
+            times=grid)
+        html = open(out).read()
+        data = json.loads(html.split("window.__FITDATA__ = ", 1)[1]
+                          .split(";</script>", 1)[0])
+        topo = sys_.topo
+        n_curves = 2 * topo.N + topo.total_sites
+        assert len(data["curves"]) == n_curves
+        assert len(data["knockouts"]) == topo.K
+        assert all(c["obs"] is None for c in data["curves"])
+        # a kinase knockout must change at least one curve it drives
+        k0 = data["knockouts"][0]
+        assert k0["total"] > 0
