@@ -127,6 +127,29 @@ def main():
             "saturating-mechanism solves/s (pop=2048, N=40, "
             "per-chunk expRB)")
 
+    # 3c. the combinatorial hypercube mechanism (model 2): 2^Smax bitmask
+    # states, jvp-extracted block operators in the ETD2RK path
+    b2 = build_demo_network(n_proteins=40, n_kinases=12, model=2, seed=0,
+                            dtype=np.float32)
+    objp2 = make_population_objective(b2["system"], b2["slices"],
+                                      b2["loss_data"], b2["defaults"],
+                                      b2["lambdas"], b2["grid"])
+    thetas2 = jnp.asarray(b2["theta0"][None]
+                          + 0.05 * rng.normal(size=(2048,
+                                                    len(b2["theta0"]))),
+                          jnp.float32)
+    f2 = jax.jit(objp2)
+    F2 = f2(thetas2)
+    jax.block_until_ready(F2)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        F2 = f2(thetas2)
+    jax.block_until_ready(F2)
+    section("3_model2_hypercube_throughput",
+            5 * 2048 / (time.perf_counter() - t0),
+            "combinatorial-mechanism solves/s (pop=2048, N=40, "
+            "2^Smax states)")
+
     t0 = time.perf_counter()
     res3 = run_global_fit(b["system"], b["slices"], b["loss_data"],
                           b["defaults"], b["lambdas"], b["grid"],

@@ -131,7 +131,7 @@ def _phi_kernel(ladder: int, w: int, L_ref, h_ref, E_ref, p1_ref, p2_ref):
 
 
 @partial(jax.jit, static_argnames=("ladder", "blk", "interpret"))
-def phi_vectors_pallas(L, h: float, ladder: int, blk: int = 2048,
+def phi_vectors_pallas(L, h: float, ladder: int, blk: int | None = None,
                        interpret: bool = False):
     """E = expm(Lh), p1 = h phi1(Lh) e0, p2 = h^2 phi2(Lh) e0.
 
@@ -140,9 +140,14 @@ def phi_vectors_pallas(L, h: float, ladder: int, blk: int = 2048,
       h: the segment length (uniform across lanes — one table per
          unique (bucket, h) pair).
       ladder: static squaring-ladder length (see :func:`ladder_len`).
+      blk: lanes per grid tile; None auto-scales with the block width so
+        the kernel's VMEM footprint stays inside the 16 MB budget
+        (w=7 -> 2048; the combinatorial mechanism's w=17 -> 256).
     Returns (E (w, w, B), p1 (w, B), p2 (w, B)).
     """
     w, _, B = L.shape
+    if blk is None:
+        blk = max(128, (2048 * 49 // (w * w)) // 128 * 128)
     Bp = ((B + blk - 1) // blk) * blk
     if Bp != B:
         L = jnp.concatenate(

@@ -104,3 +104,27 @@ class TestPhiTablesPallas:
         np.testing.assert_allclose(np.asarray(p1[0]), 2.0, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(p2[0]), 2.0, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(p1[1:]), 0.0, atol=1e-9)
+
+    def test_wide_block_auto_blk(self):
+        """w=17 (combinatorial mechanism): auto block size must shrink so
+        the kernel fits VMEM (regression: model-2 objective OOM'd at the
+        w=7 default)."""
+        from phoskintime_tpu.network.expo import _phi_vectors_lanes
+        from phoskintime_tpu.ops.phi_pallas import (ladder_len,
+                                                    phi_vectors_pallas)
+
+        rng = np.random.default_rng(0)
+        w, B = 17, 300
+        L = rng.normal(0, 0.3, (w, w, B)).astype(np.float32)
+        for i in range(w):
+            L[i, i, :] = -rng.uniform(0.01, 10.0, B)
+        L = jnp.asarray(L)
+        h = 4.0
+        E_p, p1_p, p2_p = phi_vectors_pallas(L, h, ladder_len(w, h),
+                                             interpret=True)
+        E_x, p1_x, p2_x = _phi_vectors_lanes(
+            L, jnp.broadcast_to(jnp.float32(h), (B,)))
+        for a, b in [(E_p, E_x), (p1_p, p1_x), (p2_p, p2_x)]:
+            scale = float(jnp.max(jnp.abs(b))) + 1e-30
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=2e-5)
