@@ -4,6 +4,23 @@ Spec: reference ``paramest/identifiability/ci.py:10-81`` — linearized
 (Wald) intervals from the LM covariance, MSE-rescaled unless the sigmas are
 true measurement uncertainties, t-statistics, two-tailed p-values, lower CI
 clipped at zero.
+
+Two reference-faithful quirks, reproduced deliberately (flagged in
+review; kept because the reference's statistical reporting is the spec):
+
+* the residuals are divided by ``target.size`` BEFORE squaring, so the
+  "MSE" carries an extra 1/n^2 factor and the rescaled SEs are ~n times
+  narrower than the textbook Wald formula (reference ci.py:37-43);
+* ``use_custom_weights`` gates the rescale exactly as the reference's
+  global USE_CUSTOM_WEIGHTS does: True skips the MSE rescale (treats the
+  fit sigmas as absolute), False applies it — regardless of whether the
+  sigmas actually came from measured uncertainties.
+
+Deviation from the reference: for the log-space-fitted random model the
+caller transforms the covariance to physical space by the delta method
+before calling here (see ``fit.normest``); the reference passes the
+log-space covariance with exp() parameters, mixing spaces
+(reference normest.py:478-484).
 """
 
 from __future__ import annotations

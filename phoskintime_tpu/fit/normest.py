@@ -77,6 +77,57 @@ def _multistart_p0(base: np.ndarray, lb: np.ndarray, ub: np.ndarray,
     return np.stack(p0s)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=128)
+def _lanes_program(model: str, num_psites: int, use_regularization: bool,
+                   lm_iters: int, m_fit: int, m_tgt: int, n_t: int):
+    """The jitted vmapped LM fit program, shared across calls.
+
+    All data (targets, sigmas, time grid, y0, bounds) enter as ARGUMENTS,
+    so every gene/λ/start/bootstrap lane with the same static shape
+    configuration reuses ONE compiled XLA program. (Review finding:
+    the previous per-call closures re-traced and re-compiled the
+    identical program for every gene — compile-dominated wall-clock on
+    per-gene cohort runs.)
+    """
+    npar = n_params(model, num_psites)
+    is_log = model == "randmod"
+
+    def fit_one(p0, lam, sigma, tgt_fit, tgt, t, y0, lb, ub):
+        def model_fit_vec(p):
+            pv = jnp.exp(p) if is_log else p
+            _, fit = solve_ode(pv, y0, num_psites, t, model=model)
+            return fit
+
+        def residual(p):
+            y_model = model_fit_vec(p)
+            if use_regularization:
+                y_model = jnp.concatenate(
+                    [y_model, lam / npar * jnp.square(p)])
+            return (y_model - tgt_fit) / sigma
+
+        res = levenberg_marquardt(residual, p0, lb, ub, max_iters=lm_iters)
+        pv = jnp.exp(res.p) if is_log else res.p
+        return res.p, res.pcov, score_fit(pv, tgt, model_fit_vec(res.p))
+
+    return jax.jit(jax.vmap(
+        fit_one, in_axes=(0, 0, 0, 0, 0, None, None, None, None)))
+
+
+def _phys_cov(pcov, popt, is_log: bool):
+    """Physical-space covariance. For the log-space-fitted random model
+    the LM covariance lives in log space; the delta method maps it to
+    physical space: Cov_phys = J Cov_log J^T with J = diag(exp(popt)).
+    (Deviation from the reference, which passes the log-space covariance
+    with exp() parameters to the CI routine — normest.py:478-484.)"""
+    if pcov is None or not is_log:
+        return pcov
+    j = np.exp(np.asarray(popt, float))
+    return np.asarray(pcov, float) * np.outer(j, j)
+
+
 class NormestResult(NamedTuple):
     params: np.ndarray           # physical-space best-fit parameters
     popt_raw: np.ndarray         # optimizer-space parameters (log for randmod)
@@ -114,6 +165,17 @@ def normest(gene: str,
     """Estimate one gene's kinetic parameters (fully batched on device)."""
     if lambdas is None:
         lambdas = np.logspace(-2, 0, 10)
+    # the fit vector aligns the RNA block to R(time_points[OFFSET:]) —
+    # a silently misaligned RNA grid would bias A/B with no error, so
+    # fail loudly here instead of deep inside the LM residual
+    from phoskintime_tpu.models.kinetics import OFFSET
+
+    n_r = np.asarray(r_data, float).size
+    if n_r != len(time_points) - OFFSET:
+        raise ValueError(
+            f"r_data has {n_r} points but the fit vector aligns RNA to "
+            f"time_points[{OFFSET}:] = {len(time_points) - OFFSET} points "
+            f"(reference normest.py fit-vector layout)")
 
     lb, ub = build_bounds(bounds, num_psites, model)
     npar = n_params(model, num_psites)
@@ -160,22 +222,23 @@ def normest(gene: str,
             y_model = jnp.concatenate([y_model, reg])
         return (y_model - tgt_fit_j) / sigma
 
-    def score_of(p):
-        pv = jnp.exp(p) if is_log else p
-        pred = model_fit_vec(p)
-        return score_fit(pv, tgt_j, pred)
+    lanes = _lanes_program(model, num_psites, use_regularization, lm_iters,
+                           target_fit.size, target.size, len(time_points))
 
-    def fit_one(p0, lam, sigma):
-        res = levenberg_marquardt(lambda p: residual(p, lam, sigma),
-                                  p0, lb_j, ub_j, max_iters=lm_iters)
-        return res.p, res.pcov, score_of(res.p)
+    def run_lanes(p0_l, lam_l, sig_l, tgtf_l=None):
+        n = len(p0_l)
+        tf = (jnp.broadcast_to(tgt_fit_j, (n,) + tgt_fit_j.shape)
+              if tgtf_l is None else tgtf_l)
+        tg = jnp.broadcast_to(tgt_j, (n,) + tgt_j.shape)
+        return lanes(p0_l, lam_l, sig_l, tf, tg, t, y0, lb_j, ub_j)
 
     # ---- stage 1: (lambda x weight) grid from the base start -------------
     L, W = len(lambdas), len(weight_names)
     lam_grid = jnp.asarray(np.repeat(lambdas, W))
     sig_grid = jnp.asarray(np.tile(sigmas, (L, 1)))
-    stage1 = jax.jit(jax.vmap(fit_one, in_axes=(None, 0, 0)))
-    _, _, scores1 = stage1(jnp.asarray(base_p0), lam_grid, sig_grid)
+    p0_grid = jnp.broadcast_to(jnp.asarray(np.clip(base_p0, lb, ub)),
+                               (L * W, npar))
+    _, _, scores1 = run_lanes(p0_grid, lam_grid, sig_grid)
     scores1 = np.asarray(scores1)
     scores1 = np.where(np.isfinite(scores1), scores1, np.inf)
     k_best = int(np.argmin(scores1))
@@ -185,8 +248,10 @@ def normest(gene: str,
 
     # ---- stage 2: multistart at the winning (lambda, weight) -------------
     p0s = jnp.asarray(_multistart_p0(base_p0, lb, ub, n_starts, jitter_frac, rng))
-    stage2 = jax.jit(jax.vmap(fit_one, in_axes=(0, None, None)))
-    popts, pcovs, scores2 = stage2(p0s, jnp.asarray(lambda_reg), sigma_best)
+    S2 = len(p0s)
+    popts, pcovs, scores2 = run_lanes(
+        p0s, jnp.broadcast_to(jnp.asarray(lambda_reg), (S2,)),
+        jnp.broadcast_to(sigma_best, (S2,) + sigma_best.shape))
     scores2 = np.asarray(scores2)
     scores2 = np.where(np.isfinite(scores2), scores2, np.inf)
     i_best = int(np.argmin(scores2))
@@ -194,24 +259,17 @@ def normest(gene: str,
     pcov = np.asarray(pcovs[i_best])
     best_score = float(scores2[i_best])
 
-    # ---- bootstrap (optional): one more batch axis ------------------------
+    # ---- bootstrap (optional): one more lane batch ------------------------
     boot_params = None
     if bootstraps > 0:
-        noise = rng.normal(0, 0.05, size=(bootstraps,) + target_fit.shape)
+        B = bootstraps
+        noise = rng.normal(0, 0.05, size=(B,) + target_fit.shape)
         noisy = jnp.asarray(target_fit[None] * (1 + noise))
-
-        def fit_boot(tgt_b):
-            def res_b(p):
-                y_model = model_fit_vec(p)
-                if use_regularization:
-                    reg = lambda_reg / npar * jnp.square(p)
-                    y_model = jnp.concatenate([y_model, reg])
-                return (y_model - tgt_b) / sigma_best
-            r = levenberg_marquardt(res_b, jnp.asarray(popt), lb_j, ub_j,
-                                    max_iters=lm_iters)
-            return r.p, r.pcov
-
-        bp, bc = jax.jit(jax.vmap(fit_boot))(noisy)
+        bp, bc, _ = run_lanes(
+            jnp.broadcast_to(jnp.asarray(popt), (B, npar)),
+            jnp.broadcast_to(jnp.asarray(lambda_reg), (B,)),
+            jnp.broadcast_to(sigma_best, (B,) + sigma_best.shape),
+            tgtf_l=noisy)
         boot_params = np.asarray(bp)
         popt = boot_params.mean(axis=0)
         pcov = np.asarray(bc).mean(axis=0)
@@ -221,12 +279,16 @@ def normest(gene: str,
     sol, fit = solve_ode(jnp.asarray(param_final), y0, num_psites, t, model=model)
     sol, fit = np.asarray(sol), np.asarray(fit)
     error = float(np.sum(np.abs(fit - target) ** 2) / target.size)
-    regularization_term = lambda_reg / npar * float(np.sum(param_final ** 2))
+    # reported in OPTIMIZER space — the space the penalty is actually
+    # applied in (reference normest.py:561 likewise uses the optimizer
+    # parameters; for randmod that is log space)
+    regularization_term = lambda_reg / npar * float(np.sum(popt ** 2))
 
     model_at_popt = np.asarray(residual(jnp.asarray(popt),
                                         jnp.asarray(lambda_reg),
                                         jnp.ones_like(tgt_fit_j)) + tgt_fit_j)
-    ci = confidence_intervals(param_final, pcov, target_fit, model_at_popt,
+    ci = confidence_intervals(param_final, _phys_cov(pcov, popt, is_log),
+                              target_fit, model_at_popt,
                               alpha_val=1 - alpha_ci,
                               use_custom_weights=use_custom_weights)
 
@@ -304,24 +366,14 @@ def normest_batch(genes: list[str],
     lb_j, ub_j = jnp.asarray(lb), jnp.asarray(ub)
     is_log = model == "randmod"
 
-    def model_fit_vec(p):
-        pv = jnp.exp(p) if is_log else p
-        _, fit = solve_ode(pv, y0, num_psites, t, model=model)
-        return fit
+    # same cached program the single-gene path uses — cohorts and
+    # per-gene loops share one compile per static shape configuration
+    lanes = _lanes_program(model, num_psites, use_regularization, lm_iters,
+                           targets_fit.shape[1], targets.shape[1],
+                           len(time_points))
 
-    def fit_one(p0, lam, sigma, tgt_fit, tgt):
-        def residual(p):
-            y_model = model_fit_vec(p)
-            if use_regularization:
-                y_model = jnp.concatenate([y_model, lam / npar * jnp.square(p)])
-            return (y_model - tgt_fit) / sigma
-
-        res = levenberg_marquardt(residual, p0, lb_j, ub_j, max_iters=lm_iters)
-        pv = jnp.exp(res.p) if is_log else res.p
-        score = score_fit(pv, tgt, model_fit_vec(res.p))
-        return res.p, res.pcov, score
-
-    fit_lanes = jax.jit(jax.vmap(fit_one))
+    def fit_lanes(p0_l, lam_l, sig_l, tgtf_l, tgt_l):
+        return lanes(p0_l, lam_l, sig_l, tgtf_l, tgt_l, t, y0, lb_j, ub_j)
 
     # ---- stage 1: (G x L x W) lanes from the shared base start ------------
     lam_l = jnp.asarray(np.tile(np.repeat(lambdas, W), G))
@@ -338,11 +390,13 @@ def normest_batch(genes: list[str],
 
     # ---- stage 2: (G x n_starts) multistart at each gene's winner ---------
     p0_stack = []
+    gene_rngs = []
     for g, gene in enumerate(genes):
         gene_hash = sum(ord(c) for c in str(gene)) % 1000003
         rng = np.random.default_rng(int(seed + gene_hash))
         p0_stack.append(_multistart_p0(base_p0, lb, ub, n_starts, jitter_frac,
                                        rng))
+        gene_rngs.append(rng)
     S = p0_stack[0].shape[0]
     p0_s = jnp.asarray(np.concatenate(p0_stack))                   # (G*S, npar)
     lam_s = jnp.asarray(np.repeat(lam_best, S))
@@ -366,7 +420,12 @@ def normest_batch(genes: list[str],
     boot_all = None
     if bootstraps > 0:
         B = bootstraps
-        noise = rng0.normal(0, 0.05, size=(G, B) + targets_fit.shape[1:])
+        # per-gene noise streams continuing each gene's multistart rng —
+        # EXACTLY the single-gene path's draw order (a shared stream
+        # would make each gene's bootstrap depend on cohort composition)
+        noise = np.stack([
+            gene_rngs[g].normal(0, 0.05, size=(B,) + targets_fit.shape[1:])
+            for g in range(G)])
         noisy = (targets_fit[:, None] * (1 + noise)).reshape(G * B, -1)
         p0_b = jnp.asarray(np.repeat(popt_best, B, axis=0))
         lam_b = jnp.asarray(np.repeat(lam_best, B))
@@ -388,12 +447,14 @@ def normest_batch(genes: list[str],
                              model=model)
         sol, fit = np.asarray(sol), np.asarray(fit)
         error = float(np.sum(np.abs(fit - targets[g]) ** 2) / targets[g].size)
-        reg_term = float(lam_best[g]) / npar * float(np.sum(param_final ** 2))
+        # optimizer-space penalty, as applied (see the single-gene path)
+        reg_term = float(lam_best[g]) / npar * float(np.sum(popt ** 2))
 
         mf = fit
         if use_regularization:
             mf = np.concatenate([fit, lam_best[g] / npar * popt ** 2])
-        ci = confidence_intervals(param_final, pcov, targets_fit[g], mf,
+        ci = confidence_intervals(param_final, _phys_cov(pcov, popt, is_log),
+                                  targets_fit[g], mf,
                                   alpha_val=1 - alpha_ci,
                                   use_custom_weights=use_custom_weights)
         out[gene] = NormestResult(param_final, popt, pcov, sol, fit, error,

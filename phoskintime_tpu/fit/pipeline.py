@@ -186,7 +186,12 @@ def run_model_pipeline(df_prot, df_pho, df_rna, *, time_points,
         gene_data[gene] = (pr, p, r, n)
 
     precomputed: dict[str, NormestResult] = {}
-    use_batch = batch_genes and not gene_kw.get("bootstraps")
+    # the batched fitter cannot honor per-call extras it does not plumb
+    # (bootstraps run per gene; ms_gauss_weights would be silently DROPPED
+    # by the cohort path, making batch_genes=True/False fit differently) —
+    # fall back to the per-gene path whenever they are requested
+    use_batch = (batch_genes and not gene_kw.get("bootstraps")
+                 and gene_kw.get("ms_gauss_weights") is None)
     if use_batch:
         groups: dict[int, list[str]] = {}
         for g, (_, _, _, n) in gene_data.items():

@@ -52,6 +52,9 @@ def prepare_loss_data(topo, df_prot, df_rna, df_pho, time_grid,
         obs = np.ascontiguousarray(df["fc"].values, float)
         w = (np.ascontiguousarray(df["w"].values, float)
              if "w" in df.columns else np.ones(len(df)))
+        # NaN weights would poison every objective into fail_value with
+        # no diagnostic — same guard the phospho path applies below
+        w = np.nan_to_num(w, nan=1.0)
         return p_idx, t_idx, obs, w
 
     for df in (df_prot, df_rna):

@@ -167,7 +167,11 @@ def evaluate_population(objective, thetas, mesh=None):
     re-tracing a fresh ``jax.vmap`` object each time.
     """
     per_obj = _POP_EVAL_CACHE.setdefault(objective, {})
-    f = per_obj.get(id(mesh))
+    # the cache entry keeps a STRONG reference to the mesh alongside the
+    # jitted wrapper: id() alone could be reused by a new mesh after the
+    # old one is garbage-collected, silently serving a stale sharding
+    hit = per_obj.get(id(mesh))
+    f = hit[1] if hit is not None and hit[0] is mesh else None
     if f is None:
         vf = (objective if getattr(objective, "_is_population", False)
               else jax.vmap(objective))
@@ -178,7 +182,7 @@ def evaluate_population(objective, thetas, mesh=None):
                         out_shardings=NamedSharding(mesh, P("pop", None)))
         else:
             f = jax.jit(vf)
-        per_obj[id(mesh)] = f
+        per_obj[id(mesh)] = (mesh, f)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         thetas = jax.device_put(thetas, NamedSharding(mesh, P("pop", None)))
