@@ -75,9 +75,15 @@ def prepare_loss_data(topo, df_prot, df_rna, df_pho, time_grid,
         s = row["psite"]
         if s not in site_maps[pi]:
             continue  # site in data but not in model structure; ignore
+        t_key = float(row["time"])
+        if t_key not in t_map:
+            raise ValueError(
+                f"phospho observation at t={t_key} is not on the solver "
+                f"grid {sorted(t_map)} — align the phospho timepoints "
+                f"with the union grid")
         pp.append(pi)
         ss_.append(site_maps[pi][s])
-        tt.append(t_map[float(row["time"])])
+        tt.append(t_map[t_key])
         oo.append(float(row["fc"]))
         ww.append(float(row["w"]) if "w" in row and not _isnan(row.get("w")) else 1.0)
 

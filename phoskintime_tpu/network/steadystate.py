@@ -190,8 +190,6 @@ def steady_state_combinatorial(topo, TF_inputs=None, tf_scale=1.0,
     R = np.maximum(synth, 0.0)
 
     Mmax = topo.max_states
-    bits, xor_idx = _hypercube_tables(topo.max_sites)
-    smask = topo.site_mask().astype(float)         # (N, Smax)
     stmask = topo.state_mask().astype(float)       # (N, Mmax)
 
     E = D = 1.0

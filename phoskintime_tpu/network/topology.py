@@ -144,6 +144,9 @@ def build_topology(interactions,
                 continue
             best, best_w = feedback[0], -1.0
             for k in feedback:
+                # NOTE: the tf_beta term is constant across candidates —
+                # only the kinase beta can change the argmax; reproduced
+                # as-is from reference network.py:99-101
                 w = (tf_beta_map or {}).get(orphan, 0.0)
                 w += (kin_beta_map or {}).get(k, 0.0)
                 if w > best_w:
