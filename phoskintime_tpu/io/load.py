@@ -123,13 +123,13 @@ def process_and_scale_raw_data(df, time_points, id_cols,
 
 def explode_kinase_sets(df, pcol, scol, kcol) -> pd.DataFrame:
     """{K1, K2} cells -> one row per kinase (reference io.py:63-74)."""
+    from phoskintime_tpu.io.utils import parse_kinase_set
+
     rows = []
     for _, r in df.iterrows():
-        for k in str(r[kcol]).strip("{}").split(","):
-            k = k.strip()
-            if k:
-                rows.append((str(r[pcol]).strip().upper(),
-                             str(r[scol]).strip(), k.upper()))
+        for k in parse_kinase_set(r[kcol], upper=True):
+            rows.append((str(r[pcol]).strip().upper(),
+                         str(r[scol]).strip(), k))
     return pd.DataFrame(rows, columns=["protein", "psite", "kinase"]).drop_duplicates()
 
 
@@ -166,6 +166,10 @@ def load_data(kinase_net, tf_net, ms, rna, kinopt_path=None, tfopt_path=None,
     if df_kb is not None:
         df_kb = df_kb.rename(columns={"Kinase": "kinase", "Beta": "beta",
                                       "Psite": "psite"})
+        if "psite" not in df_kb.columns:
+            # per-kinase-only beta sheet (no Psite column) — every row is
+            # a global beta, mirroring the tfopt guard below
+            df_kb["psite"] = ""
         glob = df_kb["psite"].isna() | (df_kb["psite"].astype(str).str.strip() == "")
         kin_beta_map = dict(zip(df_kb.loc[glob, "kinase"].astype(str).str.upper(),
                                 df_kb.loc[glob, "beta"].astype(float)))

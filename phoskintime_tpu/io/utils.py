@@ -45,3 +45,19 @@ def organize_output_files(out_dir: str, patterns: dict[str, str] | None = None):
                 moved.append(fname)
                 break
     return moved
+
+
+def parse_kinase_set(cell, upper: bool = False) -> list[str]:
+    """Parse a '{K1, K2}' kinase-set cell into a list of kinase names.
+
+    One shared implementation for every consumer (io.load's prior
+    explosion uppercases for ID matching; the kinopt data path preserves
+    case to match input1 rows) — review: the brace-split logic was
+    hand-rolled in three places and had already diverged on casing.
+    """
+    out = []
+    for k in str(cell).strip("{}").split(","):
+        k = k.strip()
+        if k:
+            out.append(k.upper() if upper else k)
+    return out

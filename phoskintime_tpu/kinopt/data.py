@@ -12,7 +12,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from phoskintime_tpu.config.logconf import setup_logger
 from phoskintime_tpu.kinopt.model import KinoptProblem, build_problem
+
+logger = setup_logger()
 
 TIME_COLS = [f"x{i}" for i in range(1, 15)]
 
@@ -96,8 +99,9 @@ def build_kinopt_problem(full: pd.DataFrame, inter: pd.DataFrame, *,
     cols = [c for c in TIME_COLS if c in full.columns]
 
     inter = inter.copy()
-    inter["Kinase"] = (inter["Kinase"].astype(str).str.strip("{}")
-                       .apply(lambda x: [k.strip() for k in x.split(",") if k.strip()]))
+    from phoskintime_tpu.io.utils import parse_kinase_set
+
+    inter["Kinase"] = inter["Kinase"].apply(parse_kinase_set)
     if not estimate_missing_kinases:
         known = set(full["GeneID"].astype(str))
         inter = inter[inter["Kinase"].apply(lambda ks: all(k in known for k in ks))]
@@ -138,6 +142,14 @@ def build_kinopt_problem(full: pd.DataFrame, inter: pd.DataFrame, *,
             for s in range(n_pseudo):
                 K_index.setdefault(kin, []).append((f"P{s + 1}", len(K_rows)))
                 K_rows.append(base)
+        else:
+            # kinase has only a protein-level row and estimation is off:
+            # it passed the 'known' filter above yet contributes no signal
+            # rows — say so instead of silently dropping its sites
+            logger.warning(
+                f"[kinopt] kinase {kin} has no site rows and "
+                f"estimate_missing_kinases=False — sites driven only by "
+                f"it will be dropped")
     K_array = np.asarray(K_rows) if K_rows else np.zeros((1, len(cols)))
 
     kinases = [k for k in unique_kinases if k in K_index]
@@ -160,12 +172,11 @@ def check_kinases(full: "pd.DataFrame", inter: "pd.DataFrame") -> dict:
     """Report kinases referenced in input2 but missing from input1
     (spec: reference kinopt/evol/optcon/construct.py:331+)."""
     known = set(full["GeneID"].astype(str))
+    from phoskintime_tpu.io.utils import parse_kinase_set
+
     referenced = set()
     for cell in inter["Kinase"].astype(str):
-        for k in cell.strip("{}").split(","):
-            k = k.strip()
-            if k:
-                referenced.add(k)
+        referenced.update(parse_kinase_set(cell))
     missing = sorted(referenced - known)
     return {"referenced": sorted(referenced), "missing": missing,
             "n_missing": len(missing)}

@@ -158,6 +158,11 @@ def kinopt_loss(prob: KinoptProblem, alpha_pad, beta_pad,
         val = (res * res).sum() / n_scalar
 
     if include_reg:
+        # UNWEIGHTED L1+L2 (coefficient 1.0) — reference-faithful: the
+        # reference evol objectives add `val + l1 + l2` with no lambda
+        # (kinopt/evol/objfn/minfndiffevo.py:239-245), so with simplex
+        # constraints the penalty can rival the data loss; kept as-is
+        # for parity, flagged in review
         gm = jnp.asarray(prob.gp_mask, alpha_pad.dtype)
         km = jnp.asarray(prob.k_mask, beta_pad.dtype)
         params = jnp.concatenate([(alpha_pad * gm).ravel(), (beta_pad * km).ravel()])

@@ -120,27 +120,18 @@ def run_evolutionary(prob: KinoptProblem, method: str = "NSGA-II",
             return jnp.stack([l, av, bv])
         return jax.vmap(one)(A, B)
 
-    @jax.jit
-    def eval_single(X):
-        A, B = to_padded(X)
-        return jax.vmap(lambda a, b: kinopt_loss(prob, a, b, loss_type,
-                                                 include_reg))(A, B)
-
-    @jax.jit
-    def eval_cons(X):
-        A, B = to_padded(X)
-        return jax.vmap(lambda a, b: constraint_violations(prob, a, b))(A, B)
-
-    @jax.jit
-    def repair_j(X):
+    def repair_core(X):
         """Project each candidate onto the sum-to-one feasible set — a
-        repair operator replacing pymoo's feasibility-first replacement."""
+        repair operator replacing pymoo's feasibility-first replacement.
+        Shared by the host-side NSGA-II path and the on-device DE loop
+        (review: a verbatim duplicate used to exist per path)."""
         A, B = to_padded(X)
         A = jax.vmap(lambda a: project_sum_box(a, prob.lb, prob.ub, gmask))(A)
         B = jax.vmap(lambda b: project_sum_box(b, prob.lb, prob.ub, kmask))(B)
         return jnp.concatenate([A[:, amask_flat[0], amask_flat[1]],
                                 B[:, bmask_flat[0], bmask_flat[1]]], axis=1)
 
+    repair_j = jax.jit(repair_core)
     repair = lambda X: np.asarray(repair_j(jnp.asarray(X)))
 
     if method.upper() == "DE":
@@ -152,16 +143,9 @@ def run_evolutionary(prob: KinoptProblem, method: str = "NSGA-II",
             return jax.vmap(lambda a, b: kinopt_loss(prob, a, b, loss_type,
                                                      include_reg))(A, B)
 
-        def repair_j_pure(X):
-            A, B = to_padded(X)
-            A = jax.vmap(lambda a: project_sum_box(a, prob.lb, prob.ub, gmask))(A)
-            B = jax.vmap(lambda b: project_sum_box(b, prob.lb, prob.ub, kmask))(B)
-            return jnp.concatenate([A[:, amask_flat[0], amask_flat[1]],
-                                    B[:, bmask_flat[0], bmask_flat[1]]], axis=1)
-
         run = jax.jit(lambda: run_de_device(
             eval_single_j, xl, xu, pop_size=pop_size, n_gen=n_gen, seed=seed,
-            repair_fn=repair_j_pure))
+            repair_fn=repair_core))
         dres = run()
         x_best = np.asarray(dres.x_best)
         hist = np.asarray(dres.history)

@@ -157,12 +157,16 @@ def odeint_rk45(
         return (c.t < t_end) & (c.n_steps < max_steps) & (~c.failed)
 
     def body(c: Carry):
-        # clamp step to the next input discontinuity and to t_end
+        # clamp step to the next input discontinuity and to t_end. The
+        # dt_min floor applies ONLY to the controller's free step: a
+        # boundary gap smaller than dt_min must be integrated over the
+        # ACTUAL gap (flooring dt while snapping t desynchronized state
+        # and time by up to dt_min per boundary — caught in review)
         nb = bnds[jnp.minimum(c.jb + 1, bnds.shape[0] - 1)]
         limit = jnp.minimum(nb, t_end)
-        hit = c.dt >= (limit - c.t)
-        dt = jnp.where(hit, limit - c.t, c.dt)
-        dt = jnp.maximum(dt, dt_min)
+        dt_free = jnp.maximum(c.dt, dt_min)
+        hit = dt_free >= (limit - c.t)
+        dt = jnp.where(hit, limit - c.t, dt_free)
         # snap exactly onto the boundary/end when hit
         t_new = jnp.where(hit, limit, c.t + dt)
 

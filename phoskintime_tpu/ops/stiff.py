@@ -101,24 +101,31 @@ def odeint_esdirk(
     def cond(c: Carry):
         return (c.t < t_end) & (c.n_steps < max_steps) & (~c.failed)
 
-    def newton_stage(t_s, y_base, k_init, lu_mat, c: Carry, dt):
-        """Solve k = f(t_s, y_base + h*g*k) by simplified Newton."""
+    def newton_stage(t_s, y_base, k_init, lu, c: Carry, dt):
+        """Solve k = f(t_s, y_base + h*g*k) by simplified Newton.
+        ``lu`` is the once-per-step LU factorization of M = I - h*g*J —
+        each iteration is a back-substitution, not a fresh O(d^3)
+        factorization (review: solve(M, r) re-factorized 18x per step)."""
         def body(_, k):
             r = k - rhs_b(t_s, y_base + dt * _G * k, c.jb)
-            dk = jnp.linalg.solve(lu_mat, r)
+            dk = jax.scipy.linalg.lu_solve(lu, r)
             return k - dk
 
         return jax.lax.fori_loop(0, _NEWTON_ITERS, body, k_init)
 
     def body(c: Carry):
+        # dt_min floors only the controller's free step — a boundary gap
+        # below dt_min integrates over the ACTUAL gap (see integrators.py)
         nb = bnds[jnp.minimum(c.jb + 1, bnds.shape[0] - 1)]
         limit = jnp.minimum(nb, t_end)
-        hit = c.dt >= (limit - c.t)
-        dt = jnp.maximum(jnp.where(hit, limit - c.t, c.dt), dt_min)
+        dt_free = jnp.maximum(c.dt, dt_min)
+        hit = dt_free >= (limit - c.t)
+        dt = jnp.where(hit, limit - c.t, dt_free)
         t_new = jnp.where(hit, limit, c.t + dt)
 
         J = jac(c.y, c.t, c.jb)
         M = eye - dt * _G * J  # shared Newton matrix for all implicit stages
+        lu = jax.scipy.linalg.lu_factor(M)  # ONE factorization per step
 
         k1 = c.f  # explicit first stage
         ks = [k1]
@@ -126,7 +133,7 @@ def odeint_esdirk(
             t_s = c.t + _C[i] * dt
             y_base = c.y + dt * sum(_A[i][j] * ks[j] for j in range(i))
             k_guess = ks[-1]
-            ks.append(newton_stage(t_s, y_base, k_guess, M, c, dt))
+            ks.append(newton_stage(t_s, y_base, k_guess, lu, c, dt))
 
         y_new = c.y + dt * sum(_B[i] * ks[i] for i in range(4))
         err_vec = dt * sum(_E[i] * ks[i] for i in range(4))

@@ -29,8 +29,12 @@ class ParzenEstimator1D:
     def __init__(self, samples: np.ndarray, low: float, high: float):
         self.low, self.high = low, high
         span = max(high - low, 1e-12)
-        # prior "wide" component anchored mid-range
-        mus = np.concatenate([[0.5 * (low + high)], np.sort(samples)])
+        # prior "wide" component anchored mid-range; the FULL component
+        # list must be sorted before neighbor-gap bandwidths (prepending
+        # the prior to pre-sorted samples produced negative gaps for
+        # every sample below mid-range — caught in review)
+        mus = np.sort(np.concatenate([[0.5 * (low + high)], samples]))
+        prior_idx = int(np.searchsorted(mus, 0.5 * (low + high)))
         n = len(mus)
         if n > 2:
             gaps = np.empty(n)
@@ -39,7 +43,7 @@ class ParzenEstimator1D:
             sigmas = np.clip(gaps, span / min(100.0, n), span)
         else:
             sigmas = np.full(n, span)
-        sigmas[0] = span  # prior stays wide
+        sigmas[prior_idx] = span  # prior stays wide
         self.mus, self.sigmas = mus, sigmas
         self.weights = np.full(n, 1.0 / n)
 

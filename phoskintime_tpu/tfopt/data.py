@@ -65,7 +65,10 @@ def build_tfopt_problem(mrna: pd.DataFrame, prot: pd.DataFrame,
                               for _, r in site_rows.iterrows()]
             tf_psite_labels[gid] = [str(r["Psite"]) for _, r in site_rows.iterrows()]
 
-    # keep genes with >= 1 regulator whose TF has protein data
+    # keep genes with >= 1 regulator whose TF has protein data; duplicate
+    # GeneID rows keep only the FIRST occurrence (a duplicate label would
+    # fan out in .loc and desynchronize mRNA_mat from regulators)
+    mrna = mrna.drop_duplicates(subset=gcol, keep="first")
     gene_ids = [g for g in mrna[gcol]
                 if g in reg_map and any(tf in tf_protein for tf in reg_map[g])]
     gene_set = set(gene_ids)

@@ -129,7 +129,9 @@ def tfopt_loss(prob: TfoptProblem, alpha_pad, beta_pad, loss_type: int = 0,
     beta = (beta_pad * bm).ravel()
     if loss_type == 5:      # elastic net on beta
         loss = loss + lam1 * jnp.abs(beta).sum() + lam2 * jnp.dot(beta, beta)
-    elif loss_type == 6:    # Tikhonov
+    elif loss_type == 6:    # Tikhonov — lam1 is the L2 coefficient here,
+        # NOT lam2 (which is the L2 knob of elastic-net above): this
+        # mirrors the reference exactly (tfopt/local/objfn/minfn.py:89-91)
         loss = loss + lam1 * jnp.dot(beta, beta)
     return loss
 
