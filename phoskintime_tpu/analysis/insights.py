@@ -20,14 +20,20 @@ import pandas as pd
 
 def refractory_period(topo, params) -> pd.DataFrame:
     """Flash index per protein: signal-reset speed over protein stability
-    (reference mechanistic_insights.py:68-91)."""
+    (reference mechanistic_insights.py:68-91).
+
+    DEVIATION from the reference script (documented): in this model (and
+    the reference's own RHS) B_i is mRNA decay and D_i is protein
+    degradation — the reference script divides by B_i as "stability"
+    (its own comment says "check model definition"). Here signal reset =
+    avg site turn-off (Dp + back-exchange E) and stability = D_i."""
     msk = topo.site_mask().astype(float)
     ns = np.maximum(msk.sum(axis=1), 1.0)
     avg_dephos = np.asarray(params["Dp_i"] * msk).sum(axis=1) / ns
     avg_dephos = np.where(msk.sum(axis=1) > 0, avg_dephos, 0.0)
-    deact = np.asarray(params["D_i"], float)
-    degr = np.asarray(params["B_i"], float)
-    reset = avg_dephos + deact
+    back = np.asarray(params["E_i"], float)
+    degr = np.asarray(params["D_i"], float)
+    reset = avg_dephos + back
     return pd.DataFrame({
         "protein": topo.proteins,
         "signal_reset": reset,
@@ -45,6 +51,16 @@ def kinetic_lag(df_prot: pd.DataFrame, df_rna: pd.DataFrame,
     All responder proteins are correlated in ONE batched FFT — the
     reference loops ``scipy.signal.correlate`` per protein."""
     time_grid = np.asarray(time_grid, float)
+    # the FFT lag index assumes UNIFORM spacing; the discovery driver
+    # simulates on linspace(0, t_max) so this holds there — reject other
+    # grids loudly instead of reporting lags off by orders of magnitude
+    steps = np.diff(time_grid)
+    if len(steps) and (steps.max() - steps.min()) > 1e-9 * max(
+            steps.max(), 1e-12):
+        raise ValueError(
+            "kinetic_lag requires a uniform time grid (FFT lag indices "
+            f"map to time via a single dt); got spacings "
+            f"[{steps.min():g}, {steps.max():g}] — resample first")
     T = len(time_grid)
     dt = time_grid[1] - time_grid[0]
     piv_r = df_rna.pivot_table(index="protein", columns="time",
@@ -78,8 +94,14 @@ def kinetic_lag(df_prot: pd.DataFrame, df_rna: pd.DataFrame,
 def transcriptional_saturation(topo, params,
                                df_rna: pd.DataFrame) -> pd.DataFrame:
     """Saturation index: TF efficacy over realized mRNA dynamic range
-    (reference mechanistic_insights.py:123-142)."""
-    alpha = np.asarray(params["E_i"], float)
+    (reference mechanistic_insights.py:123-142).
+
+    DEVIATION (documented): the reference script reads ode_sys.E_i as
+    "transcriptional efficacy", but E_i is the dephosphorylation
+    back-exchange rate in BOTH models; the actual transcription-drive
+    amplitude is A_i * tf_scale (synthesis_rate activation span)."""
+    alpha = (np.asarray(params["A_i"], float)
+             * float(np.asarray(params["tf_scale"])))
     max_rna = (df_rna.groupby("protein")["pred_fc"].max()
                .reindex(topo.proteins).fillna(0.0).values)
     return pd.DataFrame({
@@ -96,14 +118,18 @@ def feedback_gain(topo, params, df_tf: pd.DataFrame) -> pd.DataFrame:
     TF->kinase transcription, beta = summed W weight of the kinase back
     onto the TF's sites; loop gain = alpha * beta."""
     rows = []
-    E = np.asarray(params["E_i"], float)
+    # transcription efficacy of the TF->kinase edge = the kinase's
+    # synthesis activation span A_i * tf_scale (the reference script used
+    # E_i — the dephospho rate — see transcriptional_saturation note)
+    A = (np.asarray(params["A_i"], float)
+         * float(np.asarray(params["tf_scale"])))
     W = np.asarray(topo.W_pad, float)                # (N, Smax, K)
     for _, r in df_tf.iterrows():
         tf, target = r["tf"], r["target"]
         if target not in topo.k2i or target not in topo.p2i \
                 or tf not in topo.p2i:
             continue
-        alpha = E[topo.p2i[target]]
+        alpha = A[topo.p2i[target]]
         beta = float(W[topo.p2i[tf], :, topo.k2i[target]].sum())
         if beta > 0:
             rows.append({"tf": tf, "kinase": target,

@@ -39,6 +39,10 @@ def working_dtype() -> jnp.dtype:
     (TPU production mode). Overridable via PHOSKINTIME_DTYPE.
     """
     if _FORCE == "float64":
+        # without x64 enabled, jnp silently downcasts float64 arrays to
+        # f32 — honor the override by enabling x64 (review finding)
+        if not x64_enabled():
+            jax.config.update("jax_enable_x64", True)
         return jnp.float64
     if _FORCE == "float32":
         return jnp.float32

@@ -12,6 +12,12 @@ import os
 import time
 
 
+def jnp_zero():
+    import jax.numpy as jnp
+
+    return jnp.zeros(())
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     """Persistent XLA compile cache (amortizes the ~20-40 s first compile)."""
     import jax
@@ -44,7 +50,11 @@ def timed(label: str, logger=None):
     t0 = time.perf_counter()
     yield
     try:
+        # effects_barrier only waits for EFFECTFUL computations; pure
+        # async-dispatched jits are awaited by queueing a trivial op on
+        # the default device (in-order execution) and blocking on it
         jax.effects_barrier()
+        jax.block_until_ready(jnp_zero())
     except Exception:
         pass
     dt = time.perf_counter() - t0

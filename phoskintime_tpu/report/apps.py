@@ -60,8 +60,10 @@ def render_kinopt_app(prob, result, out_dir: str, meta=None,
     a["weight"] = a["Alpha"]
     a = a.rename(columns={"Kinase": "source"})
     a["target"] = a["Gene"] + " " + a["Psite"]
-    edges = a.nlargest(min(top_edges, len(a)), "weight")[
-        ["source", "target", "weight"]]
+    # rank by |alpha| — strong inhibitory (negative) edges are as
+    # important as activating ones (the tfopt path already did this)
+    edges = a.reindex(a["weight"].abs().sort_values(ascending=False).index
+                      )[:top_edges][["source", "target", "weight"]]
     plot_network_dag(edges, os.path.join(out_dir, "network_dag.png"),
                      title="kinase -> site control logic (top edges)")
 

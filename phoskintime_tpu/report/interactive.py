@@ -142,8 +142,9 @@ function showKO() {
   k.top.forEach(function (t, row) {
     var tr = document.createElement('tr');
     if (row === koTargetIdx) tr.className = 'sel';
-    tr.innerHTML = '<td>' + D.curves[t.c].name + '</td><td>'
-      + t.d.toPrecision(4) + '</td>';
+    tr.innerHTML = '<td>' + D.curves[t.c].name
+      + (t.bad ? ' <span style="color:#d1342f">(diverged)</span>' : '')
+      + '</td><td>' + t.d.toPrecision(4) + '</td>';
     tr.addEventListener('click', function () {
       koTargetIdx = row; showKO();
     });
@@ -264,12 +265,21 @@ def write_interactive_explorer(path, *, title, times, curve_names, obs, est,
 
     knockouts = []
     for k, name in enumerate(ko_names):
-        delta = np.abs(ko_est[k] - est).mean(axis=1)          # (C,)
+        finite = np.isfinite(ko_est[k]).all(axis=1)           # (C,)
+        delta = np.abs(np.nan_to_num(ko_est[k]) - est).mean(axis=1)
+        # a diverged (non-finite) re-prediction must not masquerade as a
+        # real complete-suppression curve (review finding): rank it last
+        # and label it
+        delta = np.where(finite, delta, -1.0)
         order = np.argsort(delta)[::-1][:max_targets_per_ko]
-        top = [{"c": int(c), "d": float(delta[c]),
-                "ko": _round(ko_est[k, c])} for c in order]
-        knockouts.append({"name": str(name), "top": top,
-                          "total": float(np.abs(ko_est[k] - est).sum())})
+        top = [{"c": int(c), "d": float(max(delta[c], 0.0)),
+                "ko": _round(ko_est[k, c]),
+                "bad": bool(~finite[c])} for c in order]
+        knockouts.append({"name": str(name) + ("" if finite.all()
+                                               else " (diverged)"),
+                          "top": top,
+                          "total": float(np.abs(
+                              np.nan_to_num(ko_est[k]) - est)[finite].sum())})
 
     rows = []
     for _, r in network_edges.head(max_edges).iterrows():

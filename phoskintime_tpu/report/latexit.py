@@ -9,11 +9,14 @@ import pandas as pd
 
 
 def _escape(s: str) -> str:
-    for a, b in [("\\", r"\textbackslash{}"), ("&", r"\&"), ("%", r"\%"),
-                 ("$", r"\$"), ("#", r"\#"), ("_", r"\_"), ("{", r"\{"),
-                 ("}", r"\}")]:
+    # backslash goes through a placeholder: replacing it with
+    # \textbackslash{} FIRST would let the later brace rules re-escape
+    # its own braces (review: 'a\\b' rendered as literal 'a\\{}b')
+    s = s.replace("\\", "\x00")
+    for a, b in [("&", r"\&"), ("%", r"\%"), ("$", r"\$"), ("#", r"\#"),
+                 ("_", r"\_"), ("{", r"\{"), ("}", r"\}")]:
         s = s.replace(a, b)
-    return s
+    return s.replace("\x00", r"\textbackslash{}")
 
 
 def dataframe_to_latex(df: pd.DataFrame, caption: str = "", label: str = "",

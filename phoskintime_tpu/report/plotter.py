@@ -52,9 +52,11 @@ class Plotter:
         if target is not None:
             tgt = np.asarray(target)
             T = len(time_points)
-            n_r = T - 5
+            # RNA segment length follows the actual RNA grid when given —
+            # T-5 only matches the default 14/9-point grids (review)
             rna_t = (rna_time_points if rna_time_points is not None
                      else time_points[5:])
+            n_r = len(rna_t)
             ax.plot(rna_t, tgt[:n_r], "o", color=COLORS[0], ms=4)
             ax.plot(time_points, tgt[n_r:n_r + T], "s", color=COLORS[1], ms=4)
             rest = tgt[n_r + T:]
