@@ -35,14 +35,25 @@ def setup_logger(name: str = "phoskintime_tpu", log_dir: str | Path | None = Non
     logger = logging.getLogger(name)
     logger.setLevel(level)
     logger.propagate = False
-    if not logger.handlers:
+    # handlers are added per KIND, not gated on "any handler exists":
+    # import-time console-only setup must not block a later
+    # setup_logger(log_dir=...) from attaching the file handler (review:
+    # the file was silently never written)
+    if not any(isinstance(h, logging.StreamHandler)
+               and not isinstance(h, logging.FileHandler)
+               for h in logger.handlers):
         ch = logging.StreamHandler()
         ch.setFormatter(ColoredFormatter("%(asctime)s %(levelname)-7s %(message)s", "%H:%M:%S"))
         logger.addHandler(ch)
-        if log_dir is not None:
+    if log_dir is not None:
+        path = Path(log_dir) / f"{name}.log"
+        already = any(isinstance(h, logging.handlers.RotatingFileHandler)
+                      and Path(getattr(h, "baseFilename", "")) == path
+                      for h in logger.handlers)
+        if not already:
             Path(log_dir).mkdir(parents=True, exist_ok=True)
             fh = logging.handlers.RotatingFileHandler(
-                Path(log_dir) / f"{name}.log", maxBytes=5_000_000, backupCount=3)
+                path, maxBytes=5_000_000, backupCount=3)
             fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)-7s %(message)s"))
             logger.addHandler(fh)
     _LOGGERS[key] = logger
