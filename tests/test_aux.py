@@ -410,3 +410,26 @@ class TestInfluenceNetworks:
         # a kinase knockout must change at least one curve it drives
         k0 = data["knockouts"][0]
         assert k0["total"] > 0
+
+
+class TestLogconfFileHandler:
+    def test_file_handler_attaches_after_console_setup(self, tmp_path):
+        """Review repro: an import-time console-only setup permanently
+        blocked the rotating file handler."""
+        import logging
+        import os
+
+        from phoskintime_tpu.config.logconf import setup_logger
+
+        name = "phoskintime_tpu_test_fh"
+        lg1 = setup_logger(name)                       # console only
+        lg2 = setup_logger(name, log_dir=tmp_path)     # must add the file
+        lg2.info("file line")
+        for h in lg2.handlers:
+            h.flush()
+        logfile = tmp_path / f"{name}.log"
+        assert logfile.exists() and "file line" in logfile.read_text()
+        # idempotent on repeat setup
+        n = len(lg2.handlers)
+        setup_logger(name, log_dir=tmp_path)
+        assert len(lg2.handlers) == n

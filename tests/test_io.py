@@ -211,3 +211,34 @@ class TestExportRoundTrip:
         assert written
         beta = read_table(str(tmp_path / "tfopt_results.xlsx"), "Beta Values")
         assert {"TF", "PSite", "Value"} <= set(beta.columns)
+
+
+class TestTfoptDuplicateGenes:
+    def test_duplicate_geneid_rows_keep_first(self, tmp_path):
+        """Review repro: duplicate GeneID labels fanned out in .loc and
+        desynchronized mRNA_mat from regulators."""
+        import pandas as pd
+
+        from phoskintime_tpu.tfopt.data import load_tfopt_problem
+
+        rng = np.random.default_rng(0)
+
+        def wide(genes, n=9):
+            d = {"GeneID": genes}
+            for i in range(1, n + 1):
+                d[f"x{i}"] = rng.uniform(0.5, 2.0, len(genes))
+            return pd.DataFrame(d)
+
+        mrna = wide(["GA", "GA", "GB"])                 # GA duplicated
+        mrna.to_csv(tmp_path / "input3.csv", index=False)
+        prot = wide(["TF1"], n=14)
+        prot.insert(1, "Psite", [""])
+        prot.to_csv(tmp_path / "input1.csv", index=False)
+        pd.DataFrame({"Source": ["TF1", "TF1"], "Target": ["GA", "GB"]}
+                     ).to_csv(tmp_path / "input4.csv", index=False)
+
+        prob, meta = load_tfopt_problem(tmp_path / "input1.csv",
+                                        tmp_path / "input3.csv",
+                                        tmp_path / "input4.csv")
+        assert prob.mRNA_mat.shape[0] == prob.regulators.shape[0] == 2
+        assert prob.gene_ids == ["GA", "GB"]

@@ -154,3 +154,48 @@ class TestFrechet:
 
         got = float(frechet_distance(jnp.asarray(A), jnp.asarray(B)))
         assert got == pytest.approx(brute(A, B), rel=1e-12)
+
+
+class TestBoundaryGapRegression:
+    """Review repro: a bucket boundary closer than dt_min must integrate
+    over the ACTUAL gap — flooring dt while snapping t desynchronized
+    state and time by up to dt_min per boundary."""
+
+    def test_rk45_tiny_boundary_gap(self):
+        from phoskintime_tpu.ops.integrators import odeint_rk45
+
+        rhs = lambda t, y, jb: jnp.ones_like(y)          # y(t) = t
+        bnds = jnp.asarray([0.0, 0.5, 0.5 + 1e-9])
+        res = odeint_rk45(rhs, jnp.zeros(1), jnp.asarray([1.0]),
+                          boundaries=bnds, dt_min=1e-6)
+        assert bool(res.success)
+        np.testing.assert_allclose(float(res.ys[-1, 0]), 1.0, atol=1e-8)
+
+    def test_esdirk_tiny_boundary_gap(self):
+        from phoskintime_tpu.ops.stiff import odeint_esdirk
+
+        rhs = lambda t, y, jb: jnp.ones_like(y)
+        bnds = jnp.asarray([0.0, 0.5, 0.5 + 1e-9])
+        res = odeint_esdirk(rhs, jnp.zeros(1), jnp.asarray([1.0]),
+                            boundaries=bnds, dt_min=1e-6)
+        assert bool(res.success)
+        np.testing.assert_allclose(float(res.ys[-1, 0]), 1.0, atol=1e-7)
+
+
+class TestParzenBandwidths:
+    def test_sorted_components_positive_gaps(self):
+        """Review repro: prepending the mid-range prior to pre-sorted
+        samples produced negative neighbor gaps below mid-range."""
+        from phoskintime_tpu.ops.tpe import ParzenEstimator1D
+
+        samples = np.linspace(0.05, 0.45, 9)             # all below prior
+        pe = ParzenEstimator1D(samples, 0.0, 1.0)
+        assert np.all(np.diff(pe.mus) >= 0)              # sorted
+        assert np.all(pe.sigmas > 0)
+        # the prior component (mu = 0.5) keeps the full-span bandwidth
+        i = int(np.argmin(np.abs(pe.mus - 0.5)))
+        assert pe.sigmas[i] == pytest.approx(1.0)
+        # interior sample bandwidth equals its neighbor span (0.1), NOT
+        # the clip floor — pre-fix, every below-prior sample was floored
+        j = int(np.argmin(np.abs(pe.mus - 0.25)))
+        assert pe.sigmas[j] == pytest.approx(0.1)
