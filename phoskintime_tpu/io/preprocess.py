@@ -84,13 +84,18 @@ def process_msgauss_std(msgauss: pd.DataFrame) -> pd.DataFrame:
 def process_routlimma(routlimma: pd.DataFrame,
                       value_col: str = "logFC",
                       gene_col: str = "GeneID",
-                      time_col: str = "unit_time") -> pd.DataFrame:
+                      time_col: str = "unit_time",
+                      log2: bool | None = None) -> pd.DataFrame:
     """Rout-Limma mRNA table -> input3 wide (x1..x9)."""
     df = routlimma.copy()
-    if value_col in df.columns and df[value_col].abs().max() < 20:
-        df["fc"] = 2.0 ** df[value_col]   # log2FC -> FC
-    else:
-        df["fc"] = df[value_col]
+    if log2 is None:
+        # heuristic, logged so a table already in FC space is auditable
+        log2 = bool(df[value_col].abs().max() < 20)
+        logger.info(f"[Prep] Rout-Limma values treated as "
+                    f"{'log2FC' if log2 else 'raw FC'} (max |v| = "
+                    f"{df[value_col].abs().max():.3g}); pass log2= to "
+                    f"override")
+    df["fc"] = 2.0 ** df[value_col] if log2 else df[value_col]
     pivot = df.pivot_table(index=[gene_col], columns=time_col, values="fc",
                            aggfunc="first").reset_index()
     ntime = len([c for c in pivot.columns if c != gene_col])
@@ -110,30 +115,39 @@ def map_gene_symbols(df: pd.DataFrame, mapping: dict[str, str],
 
 
 def run_cleanup(base_dir, out_dir=".", gene_mapping: dict | None = None):
-    """End-to-end `prep` pipeline over a raw-data directory."""
+    """End-to-end `prep` pipeline over a raw-data directory.
+
+    ``gene_mapping`` is applied to the RAW inputs up front: mapping at
+    write time let process_collecttri filter CollecTRI's gene symbols
+    against the unmapped input2 IDs — nearly every TF edge was dropped
+    and the written files landed in inconsistent ID spaces (review
+    finding)."""
     import os
 
     base_dir = str(base_dir)
     read = lambda name: pd.read_csv(os.path.join(base_dir, name))
 
-    input2 = read("input2.csv")
+    def mapped(df):
+        if gene_mapping and "GeneID" in df.columns:
+            return map_gene_symbols(df, gene_mapping)
+        return df
+
+    input2 = mapped(read("input2.csv"))
     ms_name = next((f for f in os.listdir(base_dir)
                     if f.startswith("MS_Gaussian")), None)
     outputs = {}
     if ms_name:
-        ms = read(ms_name)
+        ms = mapped(read(ms_name))
         outputs["input1.csv"] = process_msgauss(ms)
         outputs["input1_wstd.csv"] = process_msgauss_std(ms)
     if os.path.exists(os.path.join(base_dir, "CollecTRI.csv")):
         outputs["input4.csv"] = process_collecttri(read("CollecTRI.csv"), input2)
     rout = next((f for f in os.listdir(base_dir) if "limma" in f.lower()), None)
     if rout:
-        outputs["input3.csv"] = process_routlimma(read(rout))
+        outputs["input3.csv"] = process_routlimma(mapped(read(rout)))
     outputs["input2.csv"] = input2
 
     for name, df in outputs.items():
-        if gene_mapping and "GeneID" in df.columns:
-            df = map_gene_symbols(df, gene_mapping)
         df.to_csv(os.path.join(str(out_dir), name), index=False)
         logger.info(f"[Prep] wrote {name} ({len(df)} rows)")
     return outputs

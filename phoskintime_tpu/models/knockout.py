@@ -55,10 +55,8 @@ def knockout_mask_matrix(num_psites: int, n_params: int) -> tuple[np.ndarray, li
     """
     combos = generate_knockout_combinations(num_psites)
     masks = np.ones((len(combos), n_params))
-    base = np.arange(n_params)
     for i, ko in enumerate(combos):
-        ko_params = apply_knockout(np.ones(n_params), ko, num_psites)
-        masks[i] = ko_params[base]
+        masks[i] = apply_knockout(np.ones(n_params), ko, num_psites)
     return masks, combos
 
 

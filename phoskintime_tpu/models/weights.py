@@ -99,6 +99,11 @@ def get_weight_options(target: np.ndarray, t_target: np.ndarray,
         "flat_penalty": fw(flat_region_penalty[N_RNA:]),
         "steady_decay": fw(np.exp(-0.1 * time_indices)),
         "inverse_square_root_data": fw(1 / sqrt_signal[N_RNA:]),
+        # NOTE (reference-faithful, weights.py:217-231): these two span
+        # the FLAT concatenated vector positionally, so the "early"
+        # emphasis only reaches the protein block — unlike the sibling
+        # time-based schemes whose time_indices restart per block.
+        # Reproduced as-is; flagged in review.
         "early_moderate_decay": fw(np.linspace(1.0, 0.3, len(time_indices))),
         "early_steep_decay": fw(np.concatenate([
             np.full(min(8, len(time_indices)), 0.05),
@@ -160,9 +165,20 @@ def get_protein_weights(gene: str, input1_wstd, input2) -> np.ndarray:
     parts = []
     if len(tf_row) == 1:
         parts.append(tf_row[std_cols].to_numpy())
+    elif len(tf_row) > 1:
+        raise ValueError(
+            f"{gene}: {len(tf_row)} duplicate protein-level std rows in "
+            f"input1_wstd — expected exactly one")
     prot = merged[merged["Psite"].isna()][std_cols].to_numpy()
     phos = merged[merged["Psite"].notna()][std_cols].to_numpy()
     if len(parts) == 0 and len(prot):
         parts.append(prot)
+    if not parts or not len(parts[0]):
+        # silently returning a vector one block short would misalign the
+        # 'uncertainties_from_data' scheme against every other sigma
+        # (caught in review) — fail loudly like the missing-site branch
+        raise ValueError(
+            f"{gene}: no protein-level (empty-Psite) std row found in "
+            f"input1_wstd — the fit vector needs protein + site blocks")
     parts.append(phos)
     return np.concatenate([p.reshape(-1) for p in parts])

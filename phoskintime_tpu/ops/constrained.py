@@ -22,7 +22,9 @@ def project_sum_box(y: jnp.ndarray, lo, hi, mask: jnp.ndarray,
                     target: float = 1.0, iters: int = 60) -> jnp.ndarray:
     """Project each row of y (G, W) onto {sum(x*mask) = target, lo<=x<=hi}.
 
-    Off-mask entries are zeroed. Rows with empty masks are returned as-is.
+    Off-mask entries are zeroed. Rows with EMPTY masks come back all-zero
+    (y * mask); no production mask row is empty — kinopt/tfopt groups
+    always carry at least one valid slot.
     lo/hi may be scalars or arrays broadcastable to y.
     """
     mask_f = mask.astype(y.dtype)

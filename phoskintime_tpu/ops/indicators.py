@@ -98,16 +98,24 @@ def pseudo_weight_pick(F: np.ndarray, target_weights: np.ndarray) -> int:
 
 
 def convergence_history(history, ref_point=None):
-    """Per-generation hypervolume/IGD+ from a MOOResult.history list.
+    """Per-generation hypervolume from a MOOResult.history list.
 
     history entries are (gen, F_min, F_mean); for full-front histories pass
-    a list of (gen, F_front) pairs instead.
+    a list of (gen, F_front) pairs instead. When ``ref_point`` is None it
+    is fixed ONCE from the max across the whole history — a per-generation
+    reference would make the series incomparable across generations
+    (review finding).
     """
+    if not history:
+        return []
+    if ref_point is None:
+        all_F = np.vstack([np.atleast_2d(np.asarray(e[1], float))
+                           for e in history])
+        ref_point = all_F.max(axis=0) * 1.1 + 1e-9
+    rp = np.asarray(ref_point, float)
     rows = []
     for entry in history:
         gen, data = entry[0], entry[1]
         F = np.atleast_2d(np.asarray(data, float))
-        rp = (np.asarray(ref_point, float) if ref_point is not None
-              else F.max(axis=0) * 1.1 + 1e-9)
         rows.append((gen, hypervolume(F, rp)))
     return rows

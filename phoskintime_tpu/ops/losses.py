@@ -26,9 +26,14 @@ def huber(diff, pred=None, obs=None, delta=0.5):
 
 
 def pseudo_huber_log(diff, pred, obs, delta=0.5):
-    # reference LOSS_MODE==2 re-forms the residual in log space:
-    # diff' = log(diff + EPS) - log(obs + EPS), then pseudo-huber.
-    d = jnp.log(diff + EPS) - jnp.log(obs + EPS)
+    """Pseudo-Huber on the LOG-SPACE residual log(pred) - log(obs).
+
+    DEVIATION (documented): the reference's LOSS_MODE==2 computes
+    log(diff + EPS) with diff the raw residual (lossfn.py:168) — NaN for
+    every overshooting prediction, which poisons the whole objective to
+    fail_value and makes the mode unusable. The evident intent (and what
+    this implements) is the log-ratio residual."""
+    d = jnp.log(jnp.abs(pred) + EPS) - jnp.log(jnp.abs(obs) + EPS)
     x = d / delta
     return (delta * delta) * (jnp.sqrt(1.0 + x * x) - 1.0)
 
