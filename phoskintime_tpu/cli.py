@@ -61,10 +61,24 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("global-model", aliases=["global_model"],
                        help="joint network fit")
-    p.add_argument("--optimizer", choices=["pymoo", "optuna"], default=None)
+    p.add_argument("--optimizer", choices=["pymoo", "optuna", "gradient"],
+                   default=None)
     p.add_argument("--pop", type=int, default=None)
     p.add_argument("--n-gen", type=int, default=None)
     p.add_argument("--refine", action="store_true")
+    p.add_argument("--polish-steps", type=int, default=None,
+                   help="exact-gradient Adam polish steps applied to the "
+                        "Pareto set after the search (0 = off)")
+    _add_common(p)
+
+    p = sub.add_parser("mechanisms",
+                       help="fit ALL mechanistic hypotheses on the same "
+                            "data; rank by AIC/BIC with overlay plots "
+                            "(reference scripts/compare_mechanisms.py)")
+    p.add_argument("--models", nargs="*", type=int, default=[0, 1, 2, 4])
+    p.add_argument("--pop", type=int, default=48)
+    p.add_argument("--n-gen", type=int, default=25)
+    p.add_argument("--polish-steps", type=int, default=0)
     _add_common(p)
 
     p = sub.add_parser("fitanalysis",
@@ -190,6 +204,11 @@ def cmd_kinopt(args):
         adir = os.path.join(os.path.dirname(out), "kinopt_fitanalysis")
         kinopt_fit_analysis(prob, res, adir, meta)
         logger.info(f"[kinopt:{args.mode}] fit-analysis panels -> {adir}")
+        from phoskintime_tpu.kinopt.kkt import kkt_suite
+
+        kdir = os.path.join(os.path.dirname(out), "kinopt_kkt")
+        kkt_suite(prob, res, kdir, loss_type=loss_type, logger=logger)
+        logger.info(f"[kinopt:{args.mode}] KKT optimality report -> {kdir}")
     logger.info(f"[kinopt:{args.mode}] loss={res.loss:.6g} feasible="
                 f"{res.feasible} -> {out}")
 
@@ -240,10 +259,48 @@ def cmd_global_model(args):
         overrides["n_gen"] = args.n_gen
     if args.refine:
         overrides["refine"] = True
+    if getattr(args, "polish_steps", None) is not None:
+        overrides["polish_steps"] = args.polish_steps
     if overrides:
         import dataclasses
         cfg = dataclasses.replace(cfg, **overrides)
     run_global(cfg, out_dir=args.out_dir)
+
+
+def cmd_mechanisms(args):
+    """Mechanism model selection: fit all hypotheses on the same data
+    (reference scripts/compare_mechanisms.py core workflow)."""
+    from phoskintime_tpu.analysis.mechanisms import fit_all_mechanisms
+    from phoskintime_tpu.io.load import load_data
+
+    sec = load(None, "ode", args.config)
+    root = sec["_root"]
+    join = lambda p: p if os.path.isabs(str(p)) else os.path.join(root, str(p))
+    tp = np.asarray(sec.get("time", {}).get(
+        "protein", [0.0, 0.5, 0.75, 1.0, 2.0, 4.0, 8.0, 16.0, 30.0, 60.0,
+                    120.0, 240.0, 480.0, 960.0]), float)
+    tr = np.asarray(sec.get("time", {}).get(
+        "rna", [4.0, 8.0, 15.0, 30.0, 60.0, 120.0, 240.0, 480.0, 960.0]), float)
+    inputs = sec.get("inputs", {}) or {}
+    gm = load(None, "global_model", args.config)
+    df_kin, df_tf, df_prot, df_pho, df_rna, *_ = load_data(
+        join(gm.get("kinase_net", "data/input2.csv")),
+        join(gm.get("tf_net", "data/input4.csv")),
+        join(inputs.get("protein_excel", "data/input1.csv")),
+        join(gm.get("rna", "data/input3.csv")),
+        time_points_protein=tp, time_points_rna=tr,
+        scaling_method="raw")
+    out_dir = args.out_dir or os.path.join(
+        root, sec.get("_paths", {}).get("results_dir", "results"),
+        "mechanism_selection")
+    sel = fit_all_mechanisms(
+        df_kin, df_tf, df_prot, df_rna, df_pho, (tp, tr, tp),
+        models=tuple(args.models), pop=args.pop, n_gen=args.n_gen,
+        polish_steps=args.polish_steps, out_dir=out_dir, logger=logger)
+    from phoskintime_tpu.analysis.mechanisms import MECHANISMS
+
+    logger.info(f"[mechanisms] best={MECHANISMS[sel.best_model]} "
+                f"-> {out_dir}")
 
 
 def cmd_fitanalysis(args):
@@ -310,7 +367,7 @@ def main(argv=None):
     cmd = args.command.replace("-", "_")
     {"prep": cmd_prep, "tfopt": cmd_tfopt, "kinopt": cmd_kinopt,
      "model": cmd_model, "global_model": cmd_global_model,
-     "fitanalysis": cmd_fitanalysis,
+     "fitanalysis": cmd_fitanalysis, "mechanisms": cmd_mechanisms,
      "all": cmd_all, "clean": cmd_clean}[cmd](args)
 
 

@@ -86,6 +86,8 @@ class PhosKinConfig:
     pop: int = 300
     refine: bool = False
     num_refinements: int = 0
+    polish_steps: int = 0             # exact-gradient Adam polish of the Pareto set
+    polish_lr: float = 0.02
     loss: int = 0
     # loss weights
     lambda_prior: float = 0.1

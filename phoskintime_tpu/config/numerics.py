@@ -22,6 +22,13 @@ import jax.numpy as jnp
 
 _FORCE: str | None = os.environ.get("PHOSKINTIME_DTYPE")  # "float32"|"float64"
 
+# Honor the env override EAGERLY (this module is imported by the package
+# __init__): flipping x64 lazily at first working_dtype() call left any
+# arrays/programs traced earlier in the process at f32 semantics, silently
+# mixing precisions (advisor r2 finding).
+if _FORCE == "float64":
+    jax.config.update("jax_enable_x64", True)
+
 
 def enable_x64() -> None:
     """Turn on float64 globally (call before any tracing)."""

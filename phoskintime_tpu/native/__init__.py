@@ -70,6 +70,12 @@ def get_lib():
             ctypes.c_int,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
+    if hasattr(lib, "hv3d_one_contrib"):
+        lib.hv3d_one_contrib.restype = ctypes.c_double
+        lib.hv3d_one_contrib.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
     lib.associate.restype = None
     lib.associate.argtypes = [
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
@@ -128,3 +134,16 @@ def hv3d_contrib_native(F: np.ndarray, ref: np.ndarray) -> np.ndarray | None:
     out = np.empty(len(F), np.float64)
     lib.hv3d_contrib(F, len(F), ref, out)
     return out
+
+
+def hv3d_one_contrib_native(F: np.ndarray, i: int,
+                            ref: np.ndarray) -> float | None:
+    """Exact exclusive hypervolume of point ``i`` of F (n, 3) w.r.t. ref,
+    O(n log n) — the single-point refresh behind SMS-EMOA's lazy-greedy
+    survival. None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hv3d_one_contrib"):
+        return None
+    F = np.ascontiguousarray(F, np.float64)
+    ref = np.ascontiguousarray(ref, np.float64)
+    return float(lib.hv3d_one_contrib(F, len(F), int(i), ref))

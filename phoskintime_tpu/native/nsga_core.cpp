@@ -210,4 +210,27 @@ void hv3d_contrib(const double* F, int n, const double* ref, double* out) {
     }
 }
 
+// Exclusive hypervolume of point i alone (its leave-one-out contribution),
+// O(n log n): contribution_i = vol(box(F_i, ref)) - HV({max(F_i, F_j)}_{j!=i})
+// — the part of i's dominated box covered by any other point is exactly the
+// hypervolume of the componentwise maxima clipped into that box.
+double hv3d_one_contrib(const double* F, int n, int i, const double* ref) {
+    const double* fi = F + (size_t)i * 3;
+    if (!(fi[0] < ref[0] && fi[1] < ref[1] && fi[2] < ref[2])) return 0.0;
+    double box = (ref[0] - fi[0]) * (ref[1] - fi[1]) * (ref[2] - fi[2]);
+    std::vector<double> Q;
+    Q.reserve((size_t)(n - 1) * 3);
+    for (int j = 0; j < n; ++j) {
+        if (j == i) continue;
+        const double* fj = F + (size_t)j * 3;
+        Q.push_back(std::max(fi[0], fj[0]));
+        Q.push_back(std::max(fi[1], fj[1]));
+        Q.push_back(std::max(fi[2], fj[2]));
+    }
+    int m = (int)(Q.size() / 3);
+    std::vector<int32_t> all(m);
+    for (int k = 0; k < m; ++k) all[k] = k;
+    return box - hv3d_of(Q.data(), all, ref);
+}
+
 }  // extern "C"

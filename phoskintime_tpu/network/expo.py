@@ -322,7 +322,8 @@ def _phi_matrices_lanes(L, h, max_squarings: int = _MAX_SQUARINGS,
 
 
 def _phi_vectors_lanes(L, h, taylor_terms: int | None = None,
-                       max_squarings: int = _MAX_SQUARINGS):
+                       max_squarings: int = _MAX_SQUARINGS,
+                       unroll: int | None = None):
     """E = expm(Lh) plus ONLY column 0 of h*phi1(Lh) and h^2*phi2(Lh).
 
     The ETD2RK remainder g(y) lives in the R slot alone (synthesis term),
@@ -330,7 +331,12 @@ def _phi_vectors_lanes(L, h, taylor_terms: int | None = None,
     then propagate VECTORS (1 matmul + 2 matvecs per squaring instead of
     3 matmuls), and the Taylor stage for the phis is w matvec passes.
     Layout: L (w, w, B); returns E (w, w, B), p1 (w, B), p2 (w, B).
-    Runs the squaring ladder with a traced trip count (legal outside vmap).
+
+    Default runs the squaring ladder with a traced trip count (legal
+    outside vmap, NOT reverse-differentiable). ``unroll=k`` PYTHON-unrolls
+    to exactly k masked iterations — same values when k upper-bounds the
+    per-lane need — which reverse-mode AD requires (the gradient-polish
+    path).
     """
     w = L.shape[0]
     if taylor_terms is None:
@@ -338,7 +344,7 @@ def _phi_vectors_lanes(L, h, taylor_terms: int | None = None,
     A = L * jnp.asarray(h)[None, None, :]
     norm = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)
     s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.25)))
-    s = jnp.minimum(s, float(max_squarings))
+    s = jnp.minimum(s, float(unroll if unroll is not None else max_squarings))
     scale = 2.0 ** s
     A = A / scale[None, None, :]
     hs = jnp.asarray(h) / scale
@@ -370,13 +376,21 @@ def _phi_vectors_lanes(L, h, taylor_terms: int | None = None,
         return (jnp.where(go[None], En, Ec), jnp.where(go, p1n, p1c),
                 jnp.where(go, p2n, p2c), jnp.where(i < s, 2 * hc, hc))
 
-    n_iter = jnp.max(s).astype(jnp.int32)
-    E, p1, p2, _ = jax.lax.fori_loop(0, n_iter, body, (E, p1, p2, hs))
+    if unroll is not None:
+        carry = (E, p1, p2, hs)
+        for i in range(unroll):
+            carry = body(i, carry)
+        E, p1, p2, _ = carry
+    else:
+        n_iter = jnp.max(s).astype(jnp.int32)
+        E, p1, p2, _ = jax.lax.fori_loop(0, n_iter, body, (E, p1, p2, hs))
     return E, p1, p2
 
 
 def exponential_simulate_batched(system, params_b, t_eval,
-                                 substep: float = 16.0, y0=None):
+                                 substep: float = 16.0, y0=None,
+                                 use_pallas: bool | None = None,
+                                 differentiable: bool = False):
     """Natively-batched ETD2RK: params_b leaves carry a leading population
     axis P; returns (ys (P, T, d), success (P,)).
 
@@ -385,7 +399,16 @@ def exponential_simulate_batched(system, params_b, t_eval,
     poorly; here the (P x pairs x proteins) block batch is flattened into
     ONE lane-parallel expm call (0.3 ms for ~160k blocks on v5e), and the
     segment scan advances the whole population in lockstep.
+
+    ``use_pallas=False`` forces the pure-XLA propagator-table build — the
+    Pallas kernel has no VJP, so DIFFERENTIABLE consumers (the gradient
+    polish stage) must take the XLA path. None = auto (Pallas on a single
+    real TPU chip at f32). ``differentiable=True`` additionally replaces
+    every traced-trip-count squaring ladder with a statically-unrolled
+    masked one (identical values; reverse-mode AD requires static trips).
     """
+    if differentiable:
+        use_pallas = False
     topo = system.topo
     N, w = topo.N, topo.width
     P = jax.tree.leaves(params_b)[0].shape[0]
@@ -402,7 +425,8 @@ def exponential_simulate_batched(system, params_b, t_eval,
 
     if topo.model == 4:
         return _rosenbrock_simulate_batched(
-            system, params_b, y0b, seg_t0, seg_h, seg_jb, out_idx, dtype)
+            system, params_b, y0b, seg_t0, seg_h, seg_jb, out_idx, dtype,
+            differentiable=differentiable)
 
     bucket_uniq, bucket_inv = np.unique(u_jb, return_inverse=True)
 
@@ -436,7 +460,9 @@ def exponential_simulate_batched(system, params_b, t_eval,
     # ~14 pairs (a flat P*U*N batch OOMs at the 10k-candidate ensemble;
     # its ladder runs a traced trip count — the batch-wide actual need
     # instead of the static worst case).
-    if _phi_pallas_ok(dtype):
+    if use_pallas is None:
+        use_pallas = _phi_pallas_ok(dtype)
+    if use_pallas:
         from phoskintime_tpu.ops.phi_pallas import (ladder_len,
                                                     phi_vectors_pallas)
 
@@ -445,6 +471,25 @@ def exponential_simulate_batched(system, params_b, t_eval,
             h_u = float(u_h[u])
             E1, p11, p21 = phi_vectors_pallas(
                 L_lanes[int(bucket_inv[u])], h_u, ladder_len(w, h_u))
+            Es.append(E1)
+            P1s.append(p11)
+            P2s.append(p21)
+        E_u = jnp.stack(Es)
+        Phi1_u = jnp.stack(P1s)
+        Phi2_u = jnp.stack(P2s)
+    elif differentiable:
+        # statically-unrolled masked ladder per pair (same contract as the
+        # Pallas kernel's ladder_len sizing) — reverse-mode AD cannot see a
+        # traced trip count
+        from phoskintime_tpu.ops.phi_pallas import ladder_len
+
+        Es, P1s, P2s = [], [], []
+        for u in range(len(u_h)):
+            h_u = float(u_h[u])
+            E1, p11, p21 = _phi_vectors_lanes(
+                L_lanes[int(bucket_inv[u])],
+                jnp.broadcast_to(jnp.asarray(h_u, dtype), (P * N,)),
+                unroll=ladder_len(w, h_u))
             Es.append(E1)
             P1s.append(p11)
             P2s.append(p21)
@@ -541,7 +586,8 @@ def _chunk_plan(seg_t0, seg_h, seg_jb, out_idx, chunk: int = 8):
 
 
 def _rosenbrock_simulate_batched(system, params_b, y0b, seg_t0, seg_h,
-                                 seg_jb, out_idx, dtype, chunk: int = 8):
+                                 seg_jb, out_idx, dtype, chunk: int = 8,
+                                 differentiable: bool = False):
     """Model-4 path: exponential Rosenbrock (exprb2 with the ETD2RK internal
     stage). No static phi table exists because L depends on the state
     through the Michaelis-Menten saturations — instead the block Jacobian
@@ -589,7 +635,7 @@ def _rosenbrock_simulate_batched(system, params_b, y0b, seg_t0, seg_h,
         L_pn = jax.vmap(jac_one, in_axes=(0, 0, None))(Y, params_b, jb)
         L = jnp.transpose(L_pn.reshape(P * N, w, w), (1, 2, 0))
         Es, P1, P2 = _phi_matrices_lanes(L, jnp.broadcast_to(h, (P * N,)),
-                                         dynamic=True)
+                                         dynamic=not differentiable)
 
         def sub(yc, k):
             t = t0 + k.astype(dtype) * h

@@ -104,13 +104,16 @@ def make_objective(system, slices, loss_data, defaults, lambdas, time_grid,
 
 def make_population_objective(system, slices, loss_data, defaults, lambdas,
                               time_grid, loss_mode=0, fail_value=1e12,
-                              y0=None, substep=16.0):
+                              y0=None, substep=16.0, use_pallas=None,
+                              differentiable=False):
     """Natively-batched objective: thetas (P, n) -> F (P, 3), using the
     exponential (ETD2RK) integrator's flat-batch fast path.
 
     ~8x faster per evaluation than vmapping the RK45 objective on TPU
     (fixed segment count, no while_loop lane divergence, propagators as one
-    lane-parallel expm)."""
+    lane-parallel expm). ``use_pallas=False`` keeps the propagator build
+    pure-XLA so the returned objective is differentiable (jax.grad) —
+    the gradient polish stage requires it."""
     from phoskintime_tpu.network.expo import exponential_simulate_batched
     from phoskintime_tpu.network.params import unpack_params
 
@@ -131,8 +134,9 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
             cnt += defaults_j[k].size
         prior_penalty = lambdas["prior"] * acc / max(1, cnt)
 
-        ys, success = exponential_simulate_batched(system, params_b, t_eval,
-                                                   substep=substep, y0=y0)
+        ys, success = exponential_simulate_batched(
+            system, params_b, t_eval, substep=substep, y0=y0,
+            use_pallas=use_pallas, differentiable=differentiable)
 
         def losses_one(Y_flat):
             obs = extract_observables(system, Y_flat)

@@ -67,13 +67,25 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                    t_points=None, callback=None, logger=None,
                    ftol=0.0025, ftol_period=30,
                    n_max_evals=100_000, solver="auto",
-                   checkpoint_path=None, checkpoint_every=10) -> GlobalFitResult:
+                   checkpoint_path=None, checkpoint_every=10,
+                   polish_steps=0, polish_lr=0.02) -> GlobalFitResult:
     """End-to-end global fit (the runner.main optimization core).
 
     solver: "auto" uses the batched exponential fast path for every
     mechanism (ETD2RK with static phi tables for 0/1/2, ~4x the RK45
     throughput; per-segment exponential Rosenbrock for the saturating
     model 4, ~1.3x); "rk45"/"esdirk"/"expo" force a choice.
+
+    optimizer: "pymoo" (UNSGA3), "optuna" (MOTPE), or "gradient" — a pure
+    gradient-based multistart over Das-Dennis scalarization directions
+    (no reference counterpart: the objective here is differentiable
+    end-to-end, LSODA is not).
+
+    polish_steps > 0 runs the exact-gradient Adam polish
+    (:mod:`phoskintime_tpu.network.polish`) on the Pareto set after the
+    search (and after refinement), merging polished members back through
+    non-dominated sorting. The reference's only counterpart is bound-zoom
+    re-sampling (``refine.py:32-357``).
     """
     if solver == "auto":
         solver = "expo"  # ETD2RK for 0/1/2, exponential Rosenbrock for 4
@@ -113,7 +125,18 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
         if callback is not None:
             callback(gen, X, F)
 
-    if optimizer == "optuna":
+    if optimizer == "gradient":
+        from phoskintime_tpu.ops.nsga import fast_non_dominated_sort
+        from phoskintime_tpu.network.polish import gradient_multistart
+
+        Xg, Fg = gradient_multistart(
+            system, slices, loss_data, defaults, lambdas, time_grid, xl, xu,
+            pop=pop, steps=max(100, polish_steps or 300), lr=polish_lr,
+            loss_mode=loss_mode, y0=y0, seed=seed)
+        pf = fast_non_dominated_sort(Fg)[0]
+        res = MOOResult(Xg, Fg, Xg[pf], Fg[pf], [],
+                        0, pop * 3 * max(100, polish_steps or 300))
+    elif optimizer == "optuna":
         from phoskintime_tpu.parallel.checkpoint import load_sampler, save_sampler
         from phoskintime_tpu.ops.tpe import MOTPESampler
 
@@ -163,6 +186,29 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
         import dataclasses as _dc
 
         res = _dc.replace(cur, n_evals=total_evals)
+
+    # ---- exact-gradient polish of the Pareto set ---------------------------
+    if polish_steps > 0 and optimizer != "gradient" and len(res.pareto_X):
+        from phoskintime_tpu.ops.nsga import fast_non_dominated_sort
+        from phoskintime_tpu.network.polish import (polish_solutions,
+                                                    simplex_weights)
+        import dataclasses as _dc
+
+        W = simplex_weights(res.pareto_F)
+        pX, pF = polish_solutions(system, slices, loss_data, defaults,
+                                  lambdas, time_grid, res.pareto_X, xl, xu,
+                                  weights=W, steps=polish_steps,
+                                  lr=polish_lr, loss_mode=loss_mode, y0=y0)
+        if logger is not None:
+            logger.info(f"[Polish] ideal {res.pareto_F.min(axis=0)} -> "
+                        f"{pF.min(axis=0)} ({polish_steps} Adam steps)")
+        X_all = np.vstack([res.X, pX])
+        F_all = np.vstack([res.F, pF])
+        pf = fast_non_dominated_sort(F_all)[0]
+        res = _dc.replace(res, X=X_all, F=F_all, pareto_X=X_all[pf],
+                          pareto_F=F_all[pf],
+                          n_evals=res.n_evals
+                          + 3 * polish_steps * len(pX))  # ~3 fwd-equiv/step
 
     # ---- Frechet-distance solution picking --------------------------------
     best_idx, scores = 0, np.zeros(len(res.pareto_X))

@@ -119,9 +119,12 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
 
     # ---- 6. optional hyperparameter scan ----------------------------------
     if cfg.hyperparam_scan:
+        scan_dir = os.path.join(out_dir, "hyperparam_scan")
         best_lams, trials = run_hyperparameter_scan(
             system, slices, loss_data, defaults, grid, xl, xu,
-            seed=cfg.seed, loss_mode=cfg.loss, mesh=mesh, logger=logger)
+            seed=cfg.seed, loss_mode=cfg.loss, mesh=mesh, logger=logger,
+            out_dir=scan_dir,
+            checkpoint_path=os.path.join(scan_dir, "scan_state.json"))
         lambdas = best_lams
         logger.info(f"[Scan] selected lambdas {lambdas}")
 
@@ -132,6 +135,7 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
         n_trials=cfg.n_trials, seed=cfg.seed, loss_mode=cfg.loss, mesh=mesh,
         rtol=1e-5, atol=1e-7, max_steps=5000, y0=y0,
         refine=cfg.refine, num_refinements=cfg.num_refinements,
+        polish_steps=cfg.polish_steps, polish_lr=cfg.polish_lr,
         frechet_pick=True, df_prot=df_prot, df_rna=df_rna, df_pho=df_pho,
         t_points=(tp_p, tp_r, tp_p), logger=logger)
     logger.info(f"[Fit] done: {res.n_evals} evaluations, "

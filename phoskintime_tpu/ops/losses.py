@@ -28,12 +28,17 @@ def huber(diff, pred=None, obs=None, delta=0.5):
 def pseudo_huber_log(diff, pred, obs, delta=0.5):
     """Pseudo-Huber on the LOG-SPACE residual log(pred) - log(obs).
 
+    Requires POSITIVE pred/obs (fold-change signals): values are clamped
+    to a positive floor, so a negative input is treated as ~0 rather than
+    by magnitude (an |x| fold would score sign-flipped pairs of equal
+    magnitude as a zero residual — advisor r2 finding).
+
     DEVIATION (documented): the reference's LOSS_MODE==2 computes
     log(diff + EPS) with diff the raw residual (lossfn.py:168) — NaN for
     every overshooting prediction, which poisons the whole objective to
     fail_value and makes the mode unusable. The evident intent (and what
     this implements) is the log-ratio residual."""
-    d = jnp.log(jnp.abs(pred) + EPS) - jnp.log(jnp.abs(obs) + EPS)
+    d = jnp.log(jnp.maximum(pred, EPS)) - jnp.log(jnp.maximum(obs, EPS))
     x = d / delta
     return (delta * delta) * (jnp.sqrt(1.0 + x * x) - 1.0)
 

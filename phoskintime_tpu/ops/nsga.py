@@ -227,10 +227,14 @@ def sbx_crossover(parents_a, parents_b, xl, xu, rng, prob=0.9, eta=15.0):
 
     The spread factor is computed with a SINGLE fused power (pow dominates
     host time at the 10k-candidate ensemble scale)."""
-    # whole operator in f32: it feeds a STOCHASTIC search (f32 noise is
+    # f32 operator by default: it feeds a STOCHASTIC search (f32 noise is
     # immaterial) and the (n, d) elementwise chain + pow was the single
-    # hottest GA host stage (24 ms/gen at pop 384 x n_var 1103 in f64)
-    f32 = np.float32
+    # hottest GA host stage (24 ms/gen at pop 384 x n_var 1103 in f64).
+    # Explicit-f64 runs (PHOSKINTIME_DTYPE=float64 / x64 parity mode) keep
+    # f64 variation so precision comparisons are not contaminated.
+    from phoskintime_tpu.config.numerics import working_dtype
+
+    f32 = np.float64 if working_dtype() == np.float64 else np.float32
     Xa = parents_a.astype(f32)
     Xb = parents_b.astype(f32)
     n, d = Xa.shape
@@ -283,15 +287,30 @@ def polynomial_mutation(X, xl, xu, rng, prob=None, eta=10.0):
     return np.clip(X, xl, xu)
 
 
-def _duplicate_mask(off: np.ndarray, X: np.ndarray) -> np.ndarray:
+def _duplicate_mask(off: np.ndarray, X: np.ndarray,
+                    xl: np.ndarray | None = None,
+                    xu: np.ndarray | None = None) -> np.ndarray:
     """True per offspring row that duplicates a population row.
 
     Row-bytes hashing (tuple-of-1103-floats keys measured ~30 ms/gen at
     n_var=1103). Both sides are cast f32 THEN rounded: offspring come out
     of the f32 SBX path, so an f64-only key never matches a cloned f64
-    parent and the guard would silently no-op (caught in review)."""
-    key = np.ascontiguousarray(np.round(np.asarray(off, np.float32), 5))
-    pop_rows = np.ascontiguousarray(np.round(np.asarray(X, np.float32), 5))
+    parent and the guard would silently no-op (caught in review).
+
+    Quantization is RELATIVE to the per-variable span when bounds are
+    given — absolute 1e-5 rounding misclassified genuinely-distinct
+    near-converged offspring as duplicates late in a run, wasting their
+    evaluations on random replacements (advisor finding r2)."""
+    offq = np.asarray(off, np.float32)
+    popq = np.asarray(X, np.float32)
+    if xl is not None and xu is not None:
+        span = np.maximum(np.asarray(xu, np.float32)
+                          - np.asarray(xl, np.float32), 1e-12)
+        lo = np.asarray(xl, np.float32)
+        offq = (offq - lo) / span
+        popq = (popq - lo) / span
+    key = np.ascontiguousarray(np.round(offq, 6))
+    pop_rows = np.ascontiguousarray(np.round(popq, 6))
     pop_key = {pop_rows[i].tobytes() for i in range(len(pop_rows))}
     return np.fromiter((key[i].tobytes() in pop_key
                         for i in range(len(key))), bool, len(key))
@@ -370,7 +389,7 @@ def run_unsga3(evaluate: Callable[[np.ndarray], np.ndarray],
         off = polynomial_mutation(off, xl, xu, rng, eta=pm_eta)
 
         # duplicate elimination against current pop
-        dup = _duplicate_mask(off, X)
+        dup = _duplicate_mask(off, X, xl, xu)
         if dup.any():
             off[dup] = lhs_sampling(int(dup.sum()), xl, xu, rng)
 
@@ -384,8 +403,8 @@ def run_unsga3(evaluate: Callable[[np.ndarray], np.ndarray],
 
         history.append((gen, F.min(axis=0).copy(), F.mean(axis=0).copy()))
         ideal_history.append(F.min(axis=0))
-        if callback is not None:
-            callback(gen, X, F)
+        if callback is not None and callback(gen, X, F):
+            break  # truthy callback return = early stop (pruning bridge)
         if verbose and logger is not None and gen % 10 == 0:
             logger.info(f"[UNSGA3] gen {gen}: ideal={F.min(axis=0)}")
 
@@ -533,6 +552,48 @@ def hv_contributions_3d(F: np.ndarray, ref: np.ndarray) -> np.ndarray:
     return out
 
 
+def _least_hv_truncate(F_all: np.ndarray, members: np.ndarray, ref: np.ndarray,
+                       n_keep: int) -> list[int]:
+    """Iteratively drop the least-hypervolume contributor until ``n_keep``
+    members remain (SMS-EMOA / pymoo LeastHypervolumeContribution survival).
+
+    Exact semantics at amortized ~O(n log n) per removal instead of the
+    naive O(n^2 log n) full-recompute (advisor r2 finding): a point's
+    contribution can only GROW when another point is removed, so values
+    computed against an earlier (larger) set are LOWER BOUNDS of the
+    current ones. The lazy greedy pops the stale argmin, refreshes just
+    that point with the native single-point exclusive-volume kernel, and
+    removes it only when its fresh value is <= every remaining key.
+    """
+    from phoskintime_tpu.native import hv3d_one_contrib_native
+
+    idx = np.asarray(members, int)
+    n = len(idx)
+    if n <= n_keep:
+        return idx.tolist()
+    vals = np.asarray(hv_contributions_3d(F_all[idx], ref), float).copy()
+    fresh = np.ones(n, bool)
+    alive = np.ones(n, bool)
+    n_alive = n
+    while n_alive > n_keep:
+        sub = np.where(alive)[0]
+        k = sub[int(np.argmin(vals[sub]))]
+        if fresh[k]:
+            alive[k] = False
+            n_alive -= 1
+            fresh[alive] = False  # remaining values become lower bounds
+        else:
+            pos = int(np.searchsorted(sub, k))
+            one = hv3d_one_contrib_native(F_all[idx[sub]], pos, ref)
+            if one is None:  # no native lib: exact full recompute
+                vals[sub] = hv_contributions_3d(F_all[idx[sub]], ref)
+                fresh[sub] = True
+            else:
+                vals[k] = one
+                fresh[k] = True
+    return idx[alive].tolist()
+
+
 def run_smsemoa(evaluate, xl, xu, pop_size=100, n_gen=1000,
                 n_offsprings: int | None = None, seed=42,
                 sbx_prob=0.9, sbx_eta=15.0, pm_eta=20.0,
@@ -548,11 +609,11 @@ def run_smsemoa(evaluate, xl, xu, pop_size=100, n_gen=1000,
     where the multi-front case drops the worst-front member dominated by
     the most points (the paper's d(x) criterion, Eq. 4).
 
-    Cost note: the splitting-front truncation recomputes exact
-    contributions after EVERY removal (k removals x O(n^2 log n) native)
-    — the same exactness/cost trade pymoo's LeastHypervolume survival
-    makes. For big populations prefer n_offsprings=1 (one removal per
-    iteration) or UNSGA3."""
+    Cost note: the splitting-front truncation keeps pymoo's exact
+    least-contributor-per-removal semantics via a lazy greedy backed by a
+    native O(n log n) single-point refresh (:func:`_least_hv_truncate`) —
+    amortized near-linear per removal instead of the naive full
+    O(n^2 log n) recompute."""
     rng = np.random.default_rng(seed)
     xl, xu = np.asarray(xl, float), np.asarray(xu, float)
     if n_offsprings is None:
@@ -600,12 +661,9 @@ def run_smsemoa(evaluate, xl, xu, pop_size=100, n_gen=1000,
                     if len(chosen) == pop_size:
                         break
                     continue
-                alive = list(fr)
-                ref = F_all[alive].max(axis=0) + 1.0
-                while len(chosen) + len(alive) > pop_size:
-                    contrib = hv_contributions_3d(F_all[alive], ref)
-                    alive.pop(int(np.argmin(contrib)))
-                chosen.extend(alive)
+                ref = F_all[fr].max(axis=0) + 1.0
+                chosen.extend(_least_hv_truncate(F_all, fr, ref,
+                                                 pop_size - len(chosen)))
                 break
             idx = np.asarray(chosen[:pop_size], int)
             X, F = X_all[idx], F_all[idx]

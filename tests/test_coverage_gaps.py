@@ -415,3 +415,109 @@ class TestThermalVariant:
         err = np.max(np.abs(np.asarray(res.ys) - np.asarray(ref.ys)) /
                      (np.abs(np.asarray(ref.ys)) + 1e-8))
         assert err < 1e-3
+
+
+class TestScanDepth:
+    """Round-3 scan features: real pruning, components, resume, report
+    (reference global_model/scan.py:62-332)."""
+
+    def _setup(self, tiny):
+        from phoskintime_tpu.network import default_params as dp
+        from phoskintime_tpu.network import init_raw_params as irp
+
+        sys_, topo, dfp, dfr, dfph, ld, grid = tiny
+        defaults = dp(topo)
+        bounds = {k: (1e-3, 4.0) for k in
+                  ["c_k", "A_i", "B_i", "C_i", "D_i", "Dp_i", "E_i",
+                   "tf_scale"]}
+        theta0, slices, xl, xu = irp(defaults, topo, bounds)
+        return sys_, slices, ld, defaults, grid, xl, xu
+
+    def test_pruning_accounting_and_report(self, tiny, tmp_path):
+        from phoskintime_tpu.network.scan import run_hyperparameter_scan
+
+        sys_, slices, ld, defaults, grid, xl, xu = self._setup(tiny)
+        out_dir = str(tmp_path / "scan")
+        # prune_factor 0 => any post-startup trial whose report exceeds 0 x
+        # median is cut at its first reporting step (gen_step=2)
+        best, trials = run_hyperparameter_scan(
+            sys_, slices, ld, defaults, grid, xl, xu,
+            n_outer=4, inner_gens=6, inner_pop=12, seed=0,
+            gen_step=2, n_startup_prune=2, prune_factor=0.0,
+            out_dir=out_dir)
+        states = [t.state for t in trials]
+        assert states.count("pruned") >= 1
+        pruned = [t for t in trials if t.state == "pruned"]
+        # a pruned trial actually STOPPED early (fewer gens than budget)
+        assert all(t.n_gen < 6 for t in pruned)
+        # every trial carries intermediate reports + components
+        assert all(t.intermediate for t in trials)
+        done = [t for t in trials if t.state == "complete"]
+        assert all(t.components is not None and len(t.components) == 3
+                   for t in done)
+        # best comes from completed trials only
+        assert best in [t.lambdas for t in done]
+        # report artifacts
+        assert os.path.exists(os.path.join(out_dir, "optimization_history.png"))
+        files = os.listdir(out_dir)
+        assert any(f.startswith("scan_results") for f in files)
+        # tuple-unpacking compatibility
+        for lams, score in trials:
+            assert set(lams) == {"protein", "rna", "phospho", "prior"}
+            assert np.isfinite(score)
+
+    def test_resume_from_checkpoint(self, tiny, tmp_path):
+        from phoskintime_tpu.network.scan import run_hyperparameter_scan
+
+        sys_, slices, ld, defaults, grid, xl, xu = self._setup(tiny)
+        ck = str(tmp_path / "scan_state.json")
+        _, t1 = run_hyperparameter_scan(
+            sys_, slices, ld, defaults, grid, xl, xu,
+            n_outer=2, inner_gens=2, inner_pop=12, seed=0,
+            checkpoint_path=ck)
+        assert len(t1) == 2 and os.path.exists(ck)
+        # resume: asks for 2 MORE trials only (first 2 loaded from disk)
+        _, t2 = run_hyperparameter_scan(
+            sys_, slices, ld, defaults, grid, xl, xu,
+            n_outer=4, inner_gens=2, inner_pop=12, seed=0,
+            checkpoint_path=ck)
+        assert len(t2) == 4
+        assert [t.lambdas for t in t2[:2]] == [t.lambdas for t in t1]
+
+
+class TestMechanismSelection:
+    """Round-3 model-selection pipeline: fit all mechanisms on the same
+    data, AIC/BIC table + artifacts (reference scripts/compare_mechanisms.py)."""
+
+    def test_fit_all_mechanisms(self, tiny, tmp_path):
+        from phoskintime_tpu.analysis.mechanisms import fit_all_mechanisms
+
+        sys_, topo, dfp, dfr, dfph, ld, grid = tiny
+        inter = pd.DataFrame({"protein": ["GA", "GB"], "psite": ["S1", "S1"],
+                              "kinase": ["K1", "K1"]})
+        tf = pd.DataFrame({"tf": ["GA"], "target": ["GB"]})
+        out_dir = str(tmp_path / "mech")
+        sel = fit_all_mechanisms(
+            inter, tf, dfp, dfr, dfph, (GRID, RNA_GRID, GRID),
+            models=(0, 4), pop=8, n_gen=2, seed=0, out_dir=out_dir)
+
+        t = sel.table
+        assert set(t["model"]) == {0, 4}
+        for col in ["aic", "bic", "aicc", "r2", "n_params", "n_obs",
+                    "delta_aic", "akaike_weight"]:
+            assert col in t.columns
+        # AIC-sorted, weights sum to 1, best is the table's first row
+        assert (t["aic"].diff().dropna() >= 0).all()
+        assert t["akaike_weight"].sum() == pytest.approx(1.0)
+        assert sel.best_model == int(t.iloc[0]["model"])
+        assert np.isfinite(t[["aic", "bic", "r2"]].to_numpy(float)).all()
+        # per-model fitted trajectories present
+        assert set(sel.trajectories) == {0, 4}
+        # artifacts
+        assert os.path.exists(os.path.join(out_dir,
+                                           "mechanism_selection.html"))
+        assert os.path.exists(os.path.join(out_dir, "overlay_protein.png"))
+        # the table workbook path(s) reported by the writer exist
+        tbl = sel.paths["table"]
+        for p in (tbl if isinstance(tbl, (list, tuple)) else [tbl]):
+            assert os.path.exists(p)

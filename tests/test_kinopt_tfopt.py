@@ -1,6 +1,8 @@
 """kinopt / tfopt tests: prediction semantics, projection exactness,
 recovery of known mixing weights, constraint feasibility, KKT checks."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -287,3 +289,33 @@ class TestWorkbookFitAnalysis:
 
         with pytest.raises(ValueError):
             fit_analysis_from_workbook("x.xlsx", str(tmp_path), "nope")
+
+
+class TestKKTSuite:
+    def test_full_suite_artifacts(self, tmp_path):
+        """kkt_suite writes the reference KKT.py:60-254 artifact set."""
+        from phoskintime_tpu.kinopt.kkt import kkt_suite
+
+        prob, a_true, b_true = kin_problem()
+        res = kin_local(prob, n_starts=8, steps=600, lr=0.05, seed=4)
+        out = kkt_suite(prob, res, str(tmp_path), loss_type="base")
+
+        rep = out["report"]
+        assert rep.primal_feasible
+        for key in ["violations_png", "sensitivity_png", "tex",
+                    "active_constraints", "lagrange_multipliers",
+                    "high_sensitivity_sites", "json"]:
+            assert os.path.exists(out["paths"][key]), key
+        tex = open(out["paths"]["tex"]).read()
+        assert "Residual Summary" in tex
+        assert "KKT Stationarity Summary" in tex
+        import json as _json
+        rj = _json.load(open(out["paths"]["json"]))
+        assert rj["primal_feasible"] is True
+        assert "residuals" in rj and "Max Residual" in rj["residuals"]
+        # lagrange table covers every group constraint
+        import pandas as _pd
+        lam = _pd.read_csv(out["paths"]["lagrange_multipliers"])
+        assert len(lam) == prob.n_gp + prob.n_k
+        sens = out["sensitivity"]
+        assert set(["GeneID", "Psite", "Sensitivity Mean"]).issubset(sens.columns)

@@ -1,0 +1,175 @@
+"""Gradient-polish stage tests: differentiable objective path, Adam polish
+improvement guarantees, gradient multistart, and the SMS-EMOA lazy-greedy
+hypervolume truncation.
+
+The polish stage has no reference counterpart (the reference's only
+post-search sharpening is bound-zoom re-sampling,
+``global_model/refine.py:32-357``); these tests pin the TPU-native
+capability it unlocks: exact reverse-mode descent through the full
+softplus-unpack -> ETD2RK -> loss pipeline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_optimize import GRID, RNA_GRID, tiny_problem
+
+from phoskintime_tpu.network import default_params, init_raw_params
+from phoskintime_tpu.network.objective import make_population_objective
+from phoskintime_tpu.network.polish import (
+    gradient_multistart,
+    polish_solutions,
+    simplex_weights,
+)
+
+BOUNDS = {"c_k": (1e-3, 4.0), "A_i": (1e-3, 4.0), "B_i": (1e-3, 4.0),
+          "C_i": (1e-3, 4.0), "D_i": (1e-3, 4.0), "Dp_i": (0.05, 5.0),
+          "E_i": (1e-4, 4.0), "tf_scale": (0.5, 6.0)}
+LAMBDAS = {"protein": 1.0, "rna": 1.0, "phospho": 1.0, "prior": 0.0}
+
+
+def _setup(seed=0):
+    sys, topo, true, dfp, dfr, dfph, ld, grid = tiny_problem(seed)
+    defaults = default_params(topo)
+    theta0, slices, xl, xu = init_raw_params(defaults, topo, BOUNDS)
+    return sys, topo, slices, ld, defaults, grid, theta0, xl, xu
+
+
+class TestDifferentiablePath:
+    def test_matches_production_values(self):
+        """differentiable=True must compute the SAME objective values as
+        the production path (statically-unrolled ladder == traced-trip
+        ladder when the unroll bound covers the need)."""
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        rng = np.random.default_rng(1)
+        X = jnp.asarray(rng.uniform(xl, xu, (4, len(xl))), jnp.float32)
+        f_prod = make_population_objective(sys, slices, ld, defaults,
+                                           LAMBDAS, grid)
+        f_diff = make_population_objective(sys, slices, ld, defaults,
+                                           LAMBDAS, grid,
+                                           differentiable=True)
+        Fp = np.asarray(f_prod(X))
+        Fd = np.asarray(f_diff(X))
+        np.testing.assert_allclose(Fd, Fp, rtol=2e-4, atol=1e-6)
+
+    def test_grad_finite_and_matches_fd(self):
+        """Reverse-mode gradient through the full network integration is
+        finite and agrees with central finite differences."""
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        obj = make_population_objective(sys, slices, ld, defaults, LAMBDAS,
+                                        grid, differentiable=True)
+
+        def scalar(x):
+            return jnp.sum(obj(x[None, :]))
+
+        x = jnp.asarray(0.5 * (xl + xu), jnp.float64)
+        g = jax.grad(scalar)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # spot-check 5 coordinates against central differences
+        rng = np.random.default_rng(0)
+        eps = 1e-5
+        for k in rng.choice(len(xl), 5, replace=False):
+            e = np.zeros(len(xl))
+            e[k] = eps
+            fd = (scalar(x + e) - scalar(x - e)) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(g)[k], float(fd),
+                                       rtol=5e-3, atol=1e-5)
+
+
+class TestPolish:
+    def test_polish_never_worse_and_improves(self):
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        rng = np.random.default_rng(2)
+        P = 6
+        X0 = rng.uniform(xl, xu, (P, len(xl)))
+        obj = make_population_objective(sys, slices, ld, defaults, LAMBDAS,
+                                        grid)
+        F0 = np.asarray(obj(jnp.asarray(X0, jnp.float32)))
+        W = np.full((P, 3), 1.0 / 3.0)
+        Xp, Fp = polish_solutions(sys, slices, ld, defaults, LAMBDAS, grid,
+                                  X0, xl, xu, weights=W, steps=40, lr=0.05)
+        s0 = (F0 * W).sum(axis=1)
+        s1 = (Fp * W).sum(axis=1)
+        # best-so-far guarantee: no member ends worse under its own weight
+        assert np.all(s1 <= s0 * (1 + 1e-4) + 1e-6)
+        # and descent actually bites from random starts
+        assert s1.mean() < 0.9 * s0.mean()
+        # stays inside the box
+        assert np.all(Xp >= np.asarray(xl) - 1e-6)
+        assert np.all(Xp <= np.asarray(xu) + 1e-6)
+
+    def test_simplex_weights_rows(self):
+        F = np.array([[1.0, 5.0, 2.0], [4.0, 1.0, 3.0], [2.0, 2.0, 2.0]])
+        W = simplex_weights(F)
+        np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-12)
+        assert np.all(W >= 0.049)
+        # member 0 is best on objective 0 -> its weight 0 is its largest
+        assert np.argmax(W[0]) == 0
+
+    def test_gradient_multistart(self):
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        X, F = gradient_multistart(sys, slices, ld, defaults, LAMBDAS, grid,
+                                   xl, xu, pop=8, steps=40, lr=0.05, seed=3)
+        assert X.shape == (8, len(xl)) and F.shape == (8, 3)
+        # beats the pre-descent random starts it came from
+        from phoskintime_tpu.ops.nsga import lhs_sampling
+        rng = np.random.default_rng(3)
+        X0 = lhs_sampling(8, np.asarray(xl, float), np.asarray(xu, float),
+                          rng)
+        obj = make_population_objective(sys, slices, ld, defaults, LAMBDAS,
+                                        grid)
+        F0 = np.asarray(obj(jnp.asarray(X0, jnp.float32)))
+        assert F.sum(axis=1).min() < F0.sum(axis=1).min()
+
+
+class TestGlobalFitPolish:
+    def test_run_global_fit_with_polish(self):
+        from phoskintime_tpu.network.optimize import run_global_fit
+
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        res0 = run_global_fit(sys, slices, ld, defaults, LAMBDAS, grid,
+                              xl, xu, pop=16, n_gen=5, seed=0, ftol=0.0)
+        res1 = run_global_fit(sys, slices, ld, defaults, LAMBDAS, grid,
+                              xl, xu, pop=16, n_gen=5, seed=0, ftol=0.0,
+                              polish_steps=30, polish_lr=0.05)
+        # polished sum-best is never worse than the unpolished search
+        assert (res1.pareto_F.sum(axis=1).min()
+                <= res0.pareto_F.sum(axis=1).min() + 1e-6)
+        assert res1.n_evals > res0.n_evals
+
+    def test_gradient_optimizer_mode(self):
+        from phoskintime_tpu.network.optimize import run_global_fit
+
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        res = run_global_fit(sys, slices, ld, defaults, LAMBDAS, grid,
+                             xl, xu, pop=8, n_gen=1, seed=0,
+                             optimizer="gradient", polish_steps=30)
+        assert res.pareto_F.shape[1] == 3
+        assert len(res.pareto_X) >= 1
+
+
+class TestLazyHVTruncate:
+    def test_matches_naive_removal(self):
+        """Lazy-greedy == naive full-recompute on non-dominated fronts
+        (the only sets run_smsemoa truncates: dominated members never
+        reach the splitting front, so the all-tied-at-zero degeneracy
+        where tie order is fp-noise-arbitrary cannot occur)."""
+        from phoskintime_tpu.ops.nsga import (_least_hv_truncate,
+                                              hv_contributions_3d)
+
+        rng = np.random.default_rng(7)
+        for n, keep in [(12, 5), (40, 25), (60, 10)]:
+            # points on a concave surface -> mutually non-dominated,
+            # positive distinct contributions
+            xy = rng.random((n, 2))
+            F = np.column_stack([xy, 2.0 - xy.sum(axis=1)])
+            ref = F.max(axis=0) + 1.0
+            members = np.arange(n)
+            got = _least_hv_truncate(F, members, ref, keep)
+            # naive: full recompute after every removal
+            alive = list(range(n))
+            while len(alive) > keep:
+                contrib = hv_contributions_3d(F[alive], ref)
+                alive.pop(int(np.argmin(contrib)))
+            assert sorted(got) == sorted(alive)
