@@ -39,11 +39,12 @@ N_PROTEINS = 40
 N_KINASES = 12
 
 # Pinned single-core SciPy LSODA rate for THIS bench problem (evals/s).
-# Provenance: median of 5 runs of scipy_single_core_rate() on an idle
-# c4-highmem-class host of this environment, 2026-08-17 (round 3); raw
-# samples recorded in benchmarks/RESULTS_r3.md. Re-pin only with an
-# idle-machine median and update the provenance line.
-SCIPY_1CORE_EVALS_PER_S = 0.345
+# Provenance: median of 5 runs of scipy_single_core_rate() on this
+# environment's host, idle, 2026-08-17 (round 3): samples
+# [0.311, 0.291, 0.253, 0.276, 0.338] -> median 0.291; recorded in
+# benchmarks/RESULTS_r3.md. Re-pin only with an idle-machine median and
+# update the provenance line.
+SCIPY_1CORE_EVALS_PER_S = 0.291
 
 # v5e single-chip peak (dense bf16 MXU FLOP/s). f32 jnp matmuls lower to
 # bf16-rate MXU passes at default precision, so this is the honest roof.

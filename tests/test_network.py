@@ -326,6 +326,36 @@ class TestLossAndObjective:
         F_ref = np.asarray(evaluate_population(obj, pop))
         np.testing.assert_allclose(F, F_ref, rtol=1e-9)
 
+    def test_uneven_population_padding_under_mesh(self):
+        """P % n_devices != 0: make_batched_evaluate pads to a mesh
+        multiple and strips the padding; results must equal the unsharded
+        per-row evaluation with no padded-lane leakage (round-3 multichip
+        validation ask)."""
+        from jax.sharding import Mesh
+
+        from phoskintime_tpu.network.optimize import make_batched_evaluate
+
+        topo, Kmat = small_net()
+        sys = GlobalSystem(topo, GRID, Kmat)
+        df_p, df_r, df_ph = self._data(topo)
+        grid = np.unique(np.concatenate([GRID, RNA_GRID]))
+        ld = prepare_loss_data(topo, df_p, df_r, df_ph, grid)
+        defaults = default_params(topo)
+        bounds = calculate_bio_bounds(topo, df_p, df_r, Kmat)
+        theta0, slices, xl, xu = init_raw_params(defaults, topo, bounds)
+        lambdas = {"protein": 1.0, "rna": 1.0, "phospho": 1.0, "prior": 0.1}
+        obj = make_objective(sys, slices, ld, defaults, lambdas, grid)
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("pop",))
+        evaluate = make_batched_evaluate(obj, mesh=mesh)
+        rng = np.random.default_rng(2)
+        for P in (13, 8 * 2 + 5):  # neither divisible by 8
+            X = theta0[None] + 0.1 * rng.normal(size=(P, len(theta0)))
+            F = evaluate(X)
+            assert F.shape == (P, 3) and np.all(np.isfinite(F))
+            F_ref = np.asarray(evaluate_population(obj, jnp.asarray(X)))
+            np.testing.assert_allclose(F, F_ref, rtol=1e-9)
+
     def test_unpack_roundtrip(self):
         topo, Kmat = small_net()
         defaults = default_params(topo)
