@@ -93,6 +93,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "out_file in data_dir)")
     _add_common(p)
 
+    p = sub.add_parser("diagram",
+                       help="render the optimization-network schematics "
+                            "(reference scripts/make_kinopt_diagram.py); "
+                            "with --alpha-file also the fitted network")
+    p.add_argument("--kin-psites", type=int, default=1)
+    p.add_argument("--tf-psites", type=int, default=1)
+    p.add_argument("--alpha-file", default=None,
+                   help="kinopt results workbook — renders the data-driven "
+                        "fitted-network diagram from its Alpha/Beta sheets")
+    p.add_argument("--top-edges", type=int, default=60)
+    _add_common(p)
+
     p = sub.add_parser("all", help="prep -> tfopt -> kinopt -> model")
     p.add_argument("--base-dir", default=None)
     _add_common(p)
@@ -323,6 +335,39 @@ def cmd_fitanalysis(args):
                 f"{out_dir}")
 
 
+def cmd_diagram(args):
+    """Optimization-network schematics (reference
+    scripts/make_kinopt_diagram.py __main__: the six kinopt/tfopt/global
+    plain+constraints figures), plus the data-driven fitted-network
+    diagram when a kinopt workbook is given."""
+    from phoskintime_tpu.report.schematic import (fitted_network_schematic,
+                                                  render_all_schematics)
+
+    sec = load("local", "kinopt", args.config)
+    out_dir = args.out_dir or os.path.join(
+        sec["_root"], sec["_paths"].get("out_dir", "results"), "diagrams")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = render_all_schematics(out_dir, kin_psites=args.kin_psites,
+                                  tf_psites=args.tf_psites)
+    if args.alpha_file:
+        from phoskintime_tpu.io.load import read_table
+
+        alpha = read_table(args.alpha_file, sheet_name="Alpha Values")
+        beta = read_table(args.alpha_file, sheet_name="Beta Values")
+        if alpha is None or "Alpha" not in alpha.columns:
+            raise FileNotFoundError(
+                f"sheet 'Alpha Values' of {args.alpha_file} not found "
+                "(pass the workbook path, not an individual sheet CSV)")
+        if beta is not None and "Beta" in beta.columns:
+            beta["Psite"] = beta["Psite"].fillna("")
+        else:
+            beta = None
+        paths["fitted_network"] = fitted_network_schematic(
+            alpha, beta, os.path.join(out_dir, "fitted_network.png"),
+            top_edges=args.top_edges, logger=logger)
+    logger.info(f"[diagram] {len(paths)} figures -> {out_dir}")
+
+
 def cmd_all(args):
     if args.base_dir:
         cmd_prep(argparse.Namespace(base_dir=args.base_dir, config=args.config,
@@ -368,6 +413,7 @@ def main(argv=None):
     {"prep": cmd_prep, "tfopt": cmd_tfopt, "kinopt": cmd_kinopt,
      "model": cmd_model, "global_model": cmd_global_model,
      "fitanalysis": cmd_fitanalysis, "mechanisms": cmd_mechanisms,
+     "diagram": cmd_diagram,
      "all": cmd_all, "clean": cmd_clean}[cmd](args)
 
 

@@ -143,5 +143,19 @@ class TestCLI:
         assert len(gofs) >= 1
         assert "__PARETODATA__" in (out / "pareto_interactive.html").read_text()
 
+    def test_diagram(self, project):
+        _run(project, ["kinopt", "--mode", "local"])
+        _run(project, ["diagram"])
+        out = project / "results" / "diagrams"
+        names = set(os.listdir(out))
+        assert {"kinopt_diagram.png", "kinopt_constraints.png",
+                "tfopt_diagram.png", "tfopt_constraints.png",
+                "global_diagram.png",
+                "global_constraints.png"} <= names
+        # data-driven fitted network from the saved workbook
+        wb = str(project / "data" / "kinopt_results.xlsx")
+        _run(project, ["diagram", "--alpha-file", wb, "--top-edges", "10"])
+        assert (out / "fitted_network.png").exists()
+
     def test_clean(self, project):
         _run(project, ["clean"])

@@ -243,3 +243,42 @@ class TestParetoInteractive:
         # GA protein curve carries the observed points
         gi = data["curve_names"].index("GA (protein)")
         assert data["obs"][gi] is not None and len(data["obs"][gi]) == len(GRID)
+
+
+class TestSchematics:
+    """Optimization-network schematics (reference
+    scripts/make_kinopt_diagram.py): six figures + the data-driven
+    fitted-network diagram."""
+
+    def test_render_all(self, tmp_path):
+        from phoskintime_tpu.report.schematic import render_all_schematics
+
+        paths = render_all_schematics(tmp_path, kin_psites=2, tf_psites=2)
+        assert sorted(paths) == ["global_constraints", "global_diagram",
+                                 "kinopt_constraints", "kinopt_diagram",
+                                 "tfopt_constraints", "tfopt_diagram"]
+        for p in paths.values():
+            assert os.path.getsize(p) > 10_000   # real rendered figure
+
+    def test_fitted_network(self, tmp_path):
+        from phoskintime_tpu.report.schematic import fitted_network_schematic
+
+        rng = np.random.default_rng(0)
+        rows = [(g, s, k, float(rng.normal(0.3, 0.4)))
+                for g in ["GA", "GB"] for s in ["S1", "T2"]
+                for k in ["K1", "K2", "K3"]]
+        alpha = pd.DataFrame(rows,
+                             columns=["Gene", "Psite", "Kinase", "Alpha"])
+        beta = pd.DataFrame({"Kinase": ["K1", "K2", "K3"],
+                             "Psite": ["", "", ""],
+                             "Beta": [0.5, 0.3, 0.2]})
+        out = fitted_network_schematic(alpha, beta,
+                                       str(tmp_path / "fitted.png"),
+                                       top_edges=8)
+        assert os.path.getsize(out) > 10_000
+        # top-N filter drops the weakest edges loudly (title annotation),
+        # never errors on an empty beta sheet
+        out2 = fitted_network_schematic(
+            alpha, beta.iloc[:0], str(tmp_path / "fitted2.png"),
+            top_edges=4)
+        assert os.path.getsize(out2) > 10_000
