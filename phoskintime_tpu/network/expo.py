@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from phoskintime_tpu.network.rhs import synthesis_rate
 from phoskintime_tpu.ops.integrators import ODEResult
 
 
@@ -145,6 +146,42 @@ def _block_linear_operators(system, params, buckets: np.ndarray, dtype):
 
         cols = jax.vmap(col)(jnp.arange(w))         # (w, N, w)
         return jnp.transpose(cols, (1, 2, 0))       # (N, w, w): [i, row, col]
+
+    return jax.vmap(columns_for_bucket)(jnp.asarray(buckets))
+
+
+def _block_linear_operators_class(system, params, buckets: np.ndarray,
+                                  dtype, idx: np.ndarray, wc: int):
+    """(B, Nc, wc, wc) blocks for ONE width class (protein subset ``idx``
+    at class width ``wc``), probed narrow from the start.
+
+    Same jvp extraction as :func:`_block_linear_operators`, but the probe
+    vectors touch only class proteins and only the first ``wc`` state
+    slots, and only class rows are read back — the wide (N, w, w) block
+    tensor is never formed. This matters for layout, not just FLOPs:
+    gathering class lanes out of the full lane-layout tensor makes XLA
+    materialize it with the (w, w) matrix dims minor, which tile-pads
+    (8, 128) to a measured 10.6x HBM expansion (13.7 GB at pop 2048,
+    straight past the v5e's 16 GB)."""
+    topo = system.topo
+    N, w = topo.N, topo.width
+    u0 = jnp.zeros((N,), dtype)
+    y_lin = jnp.zeros((N * w,), dtype)
+    idx_j = jnp.asarray(np.asarray(idx))
+
+    def columns_for_bucket(jb):
+        def f(y_flat):
+            return system.rhs(0.0, y_flat, jb, params, u_override=u0)
+
+        def col(j):
+            # one probe lights slot j of EVERY class protein at once —
+            # exact because the frozen-u RHS is block-diagonal
+            v = jnp.zeros((N, w), dtype).at[idx_j, j].set(1.0).reshape(-1)
+            _, tangent = jax.jvp(f, (y_lin,), (v,))
+            return tangent.reshape(N, w)[idx_j, :wc]     # (Nc, wc)
+
+        cols = jax.vmap(col)(jnp.arange(wc))             # (wc, Nc, wc)
+        return jnp.transpose(cols, (1, 2, 0))            # (Nc, wc, wc)
 
     return jax.vmap(columns_for_bucket)(jnp.asarray(buckets))
 
@@ -390,7 +427,8 @@ def _phi_vectors_lanes(L, h, taylor_terms: int | None = None,
 def exponential_simulate_batched(system, params_b, t_eval,
                                  substep: float = 16.0, y0=None,
                                  use_pallas: bool | None = None,
-                                 differentiable: bool = False):
+                                 differentiable: bool = False,
+                                 width_bucketing: bool | None = None):
     """Natively-batched ETD2RK: params_b leaves carry a leading population
     axis P; returns (ys (P, T, d), success (P,)).
 
@@ -406,6 +444,11 @@ def exponential_simulate_batched(system, params_b, t_eval,
     real TPU chip at f32). ``differentiable=True`` additionally replaces
     every traced-trip-count squaring ladder with a statically-unrolled
     masked one (identical values; reverse-mode AD requires static trips).
+
+    ``width_bucketing``: None = auto (combinatorial mechanism at w >= 9
+    with heterogeneous site counts, see the class-build block below);
+    False forces the single full-width path; True lifts the auto
+    thresholds (still a no-op when every protein shares one width).
     """
     if differentiable:
         use_pallas = False
@@ -441,13 +484,6 @@ def exponential_simulate_batched(system, params_b, t_eval,
             return jax.vmap(per_bucket)(jnp.asarray(bucket_uniq))
         return _block_linear_operators(system, p, bucket_uniq, dtype)
 
-    L_pb = jax.vmap(blocks_one)(params_b)                # (P, Bu, N, w, w)
-    # lane layout: batch (P*N) on the minor (lane) axis — a (..., w, w)
-    # trailing layout tile-pads every tiny matrix to (8, 128), a ~20x
-    # memory/bandwidth tax measured on the gathers in the segment scan.
-    L_lanes = jnp.transpose(L_pb, (1, 3, 4, 0, 2)).reshape(
-        len(bucket_uniq), w, w, P * N)                   # (Bu, w, w, PN)
-
     u_h_j = jnp.asarray(u_h, dtype)
     binv_j = jnp.asarray(bucket_inv)
 
@@ -462,49 +498,117 @@ def exponential_simulate_batched(system, params_b, t_eval,
     # instead of the static worst case).
     if use_pallas is None:
         use_pallas = _phi_pallas_ok(dtype)
-    if use_pallas:
-        from phoskintime_tpu.ops.phi_pallas import (ladder_len,
-                                                    phi_vectors_pallas)
 
-        Es, P1s, P2s = [], [], []
-        for u in range(len(u_h)):
-            h_u = float(u_h[u])
-            E1, p11, p21 = phi_vectors_pallas(
-                L_lanes[int(bucket_inv[u])], h_u, ladder_len(w, h_u))
-            Es.append(E1)
-            P1s.append(p11)
-            P2s.append(p21)
-        E_u = jnp.stack(Es)
-        Phi1_u = jnp.stack(P1s)
-        Phi2_u = jnp.stack(P2s)
-    elif differentiable:
-        # statically-unrolled masked ladder per pair (same contract as the
-        # Pallas kernel's ladder_len sizing) — reverse-mode AD cannot see a
-        # traced trip count
-        from phoskintime_tpu.ops.phi_pallas import ladder_len
+    def build_tables(L_in, w_in, n_lanes):
+        """Per-(bucket, h)-pair propagator tables at width ``w_in`` for
+        ``L_in`` (Bu, w_in, w_in, n_lanes)."""
+        if use_pallas:
+            # ONE pallas_call for every (bucket, h) pair: the pair axis
+            # is a grid dimension (scalar-prefetch bucket lookup), so
+            # Mosaic compiles the ladder once instead of once per pair
+            # (and, bucketed, once per pair PER CLASS — 482 s of
+            # trace+compile at a 12-protein demo, measured)
+            from phoskintime_tpu.ops.phi_pallas import (
+                ladder_len, phi_vectors_pallas_all)
 
-        Es, P1s, P2s = [], [], []
-        for u in range(len(u_h)):
-            h_u = float(u_h[u])
-            E1, p11, p21 = _phi_vectors_lanes(
-                L_lanes[int(bucket_inv[u])],
-                jnp.broadcast_to(jnp.asarray(h_u, dtype), (P * N,)),
-                unroll=ladder_len(w, h_u))
-            Es.append(E1)
-            P1s.append(p11)
-            P2s.append(p21)
-        E_u = jnp.stack(Es)
-        Phi1_u = jnp.stack(P1s)
-        Phi2_u = jnp.stack(P2s)
-    else:
+            lad = max(ladder_len(w_in, float(h)) for h in u_h)
+            return phi_vectors_pallas_all(
+                L_in, np.asarray(bucket_inv, np.int32),
+                np.asarray(u_h, np.float32), lad)
+        if differentiable:
+            # statically-unrolled masked ladder per pair (same contract
+            # as the Pallas kernel's ladder_len sizing) — reverse-mode AD
+            # cannot see a traced trip count
+            from phoskintime_tpu.ops.phi_pallas import ladder_len
+
+            Es, P1s, P2s = [], [], []
+            for u in range(len(u_h)):
+                h_u = float(u_h[u])
+                E1, p11, p21 = _phi_vectors_lanes(
+                    L_in[int(bucket_inv[u])],
+                    jnp.broadcast_to(jnp.asarray(h_u, dtype), (n_lanes,)),
+                    unroll=ladder_len(w_in, h_u))
+                Es.append(E1)
+                P1s.append(p11)
+                P2s.append(p21)
+            return jnp.stack(Es), jnp.stack(P1s), jnp.stack(P2s)
+
         def phis_one(args):
             slot, h_p = args
-            return _phi_vectors_lanes(L_lanes[slot],
-                                      jnp.broadcast_to(h_p, (P * N,)))
+            return _phi_vectors_lanes(L_in[slot],
+                                      jnp.broadcast_to(h_p, (n_lanes,)))
 
-        E_u, Phi1_u, Phi2_u = jax.lax.map(phis_one, (binv_j, u_h_j))
-    # E_u (U, w, w, PN); Phi*_u (U, w, PN); scan-step lookup is a
-    # contiguous leading-axis slice
+        return jax.lax.map(phis_one, (binv_j, u_h_j))
+
+    # --- width bucketing (combinatorial mechanism): proteins with fewer
+    # sites get narrower blocks. The padded rows/cols of every affine L
+    # block are exactly zero (the masked RHS neither reads nor writes
+    # padded state slots), so the top-left (w_i, w_i) corner propagates
+    # exactly and the padded state stays 0. At model 2's global
+    # w = 1 + 2^Smax the ladder matmul is cubic in width and the TABLES
+    # are quadratic — most proteins are far narrower (w_i = 1 + 2^s_i),
+    # so each width class gets its OWN tables at its own width, and the
+    # scan step applies them class-resident (no padded global table is
+    # ever materialized: at pop 2048 / N 40 / w 17 the padded table alone
+    # is 13.3 GB; class-resident it is ~3-4x smaller and the ladder FLOPs
+    # drop by the cube). Models 0/1 (w <= 2+Smax) skip bucketing — the
+    # saving is small and splitting the lane batch into several narrow
+    # kernel launches measured 3.8x SLOWER at model-0 demo shapes.
+    # Reference cap semantics anchor:
+    # /root/reference/global_model/steadystate.py:658-662.
+    classes: list = []
+    if width_bucketing is None:
+        width_bucketing = topo.model == 2 and w >= 9
+    if width_bucketing and topo.model == 2:
+        ws_prot = 1 + 2 ** np.asarray(topo.n_sites)
+        uniq_ws = sorted({int(v) for v in ws_prot})
+        if len(uniq_ws) > 1:
+            # greedy merge: accumulate ascending widths until the group
+            # holds >= 5% of proteins; the group runs at its LARGEST
+            # width (running a narrow protein at a wider class is exact)
+            acc: list = []
+            for wc in uniq_ws:
+                acc.append(np.where(ws_prot == wc)[0])
+                if (sum(len(a) for a in acc) / N >= 0.05
+                        or wc == uniq_ws[-1]):
+                    classes.append((wc, np.concatenate(acc)))
+                    acc = []
+        if len(classes) <= 1:
+            classes = []
+
+    if classes:
+        # protein order is permuted ONCE so each width class is a
+        # CONTIGUOUS protein range — every per-step class access below is
+        # then a static slice. (The first cut gathered class lanes with
+        # `yl[:, lidx]` inside the scan step: lane-axis gathers serialize
+        # on TPU and measured ~200x slower than the unbucketed path.)
+        prot_perm = np.concatenate([idx for _, idx in classes])
+        poffs = np.cumsum([0] + [len(idx) for _, idx in classes])
+        tables = []
+        for wc, idx in classes:
+            # narrow from the first probe: gathering class lanes out of
+            # the FULL lane tensor instead forces XLA to re-materialize
+            # it (w, w)-minor — tile padding blew that up 10.6x (13.7 GB
+            # at pop 2048) before this per-class build existed
+            Lc_pb = jax.vmap(lambda p, i=idx, wci=wc:
+                             _block_linear_operators_class(
+                                 system, p, bucket_uniq, dtype, i, wci)
+                             )(params_b)                 # (P, Bu, Nc, wc, wc)
+            Lc = jnp.transpose(Lc_pb, (1, 3, 4, 0, 2)).reshape(
+                len(bucket_uniq), wc, wc, -1)            # (Bu, wc, wc, P*Nc)
+            tables.append(build_tables(Lc, wc, P * len(idx)))
+    else:
+        L_pb = jax.vmap(blocks_one)(params_b)            # (P, Bu, N, w, w)
+        # lane layout: batch (P*N) on the minor (lane) axis — a
+        # (..., w, w) trailing layout tile-pads every tiny matrix to
+        # (8, 128), a ~20x memory/bandwidth tax measured on the gathers
+        # in the segment scan.
+        L_lanes = jnp.transpose(L_pb, (1, 3, 4, 0, 2)).reshape(
+            len(bucket_uniq), w, w, P * N)               # (Bu, w, w, PN)
+        E_u, Phi1_u, Phi2_u = build_tables(L_lanes, w, P * N)
+    # unbucketed: E_u (U, w, w, PN); Phi*_u (U, w, PN); scan-step lookup
+    # is a contiguous leading-axis slice. bucketed: per-class narrow
+    # tables in ``tables`` aligned with ``classes``/``lane_idx_c``.
 
     t0s = jnp.asarray(seg_t0, dtype)
     hs = jnp.asarray(seg_h, dtype)
@@ -528,6 +632,88 @@ def exponential_simulate_batched(system, params_b, t_eval,
         s = jax.vmap(lambda yy, pp: system.rhs.synthesis_vector(
             yy, system.rhs.kinase_activity(pp, jb), pp))(Yb, params_b)
         return s.reshape(P * N)
+
+    if classes:
+        # synthesis computed DIRECTLY on class-permuted topology tensors
+        # (permuted once here, at trace time) — the scan step never
+        # touches the original protein order, so there are no per-step
+        # gathers at all. Bucketing is model-2 only, so only the
+        # combinatorial total-protein form is needed.
+        rhs_m = system.rhs
+        pp_j = jnp.asarray(prot_perm)
+        tfm_p = rhs_m.tf_mat[pp_j][:, pp_j]
+        tfd_p = rhs_m.tf_deg[pp_j]
+        driven_p = rhs_m.driven[pp_j]
+        didx_p = rhs_m.driver_idx[pp_j]
+        stm_p = rhs_m.state_mask[pp_j]                   # (N, Mmax)
+        A_p = params_b["A_i"][:, pp_j]                   # (P, N)
+        ck_b = params_b["c_k"]                           # (P, K)
+        ts_b = params_b["tf_scale"]                      # (P,)
+
+        spans = [(int(poffs[ci]), len(idx), wc)
+                 for ci, (wc, idx) in enumerate(classes)]
+        # per-class per-lane state masks (constant): stm_c tiled p-major
+        # so the total-protein sum runs directly on the 2D lane layout
+        stm_lane = [jnp.tile(stm_p[off:off + nc, :wc - 1], (P, 1))
+                    for off, nc, wc in spans]            # [(P*nc, wc-1)]
+
+        def synth_perm(yls, jb):
+            """(P, N) synthesis drive from per-class lane states
+            yls = [(wc, P*nc)] (class-permuted protein order)."""
+            tots = [jnp.einsum("ml,lm->l", yc[1:], sm).reshape(P, nc)
+                    for yc, sm, (off, nc, wc)
+                    in zip(yls, stm_lane, spans)]
+            tot = jnp.concatenate(tots, axis=1)          # (P, N) permuted
+            jbc = jnp.clip(jb, 0, rhs_m.Kmat.shape[1] - 1)
+            Kt = rhs_m.Kmat[:, jbc][None, :] * ck_b      # (P, K)
+            Pv = jnp.where(driven_p[None, :], Kt[:, didx_p], tot)
+            v = (Pv @ tfm_p.T) / tfd_p[None, :]
+            u = v / (1.0 + jnp.abs(v))
+            return synthesis_rate(A_p, ts_b[:, None], u)
+
+        def step(yls, seg):
+            # carry is a per-class pytree — no packed full-width buffer
+            # ever exists inside the scan (a first cut packed classes
+            # into one (w, P, N) array: the per-step partial-tile
+            # dynamic-update-slices on the 45-wide minor axis tripled
+            # the scan time, 46 -> 166 ms/run at pop 2048)
+            t0, h, jb, uidx = seg
+            s_n = synth_perm(yls, jb)                    # (P, N)
+            a = []
+            for yc, (off, nc, wc), (Ec, P1c, _) in zip(yls, spans, tables):
+                snc = s_n[:, off:off + nc].reshape(P * nc)
+                a.append(bmv_l(Ec[uidx], yc) + P1c[uidx] * snc[None, :])
+            s_a = synth_perm(a, jb)
+            d = s_a - s_n
+            y_new = [
+                ac + (P2c[uidx] / h)
+                * d[:, off:off + nc].reshape(P * nc)[None, :]
+                for ac, (off, nc, wc), (_, _, P2c)
+                in zip(a, spans, tables)]
+            return y_new, y_new
+
+        Y0p = y0b.reshape(P, N, w)[:, pp_j, :]           # (P, N, w)
+        yl0 = [jnp.transpose(Y0p[:, off:off + nc, :wc]
+                             .reshape(P * nc, wc), (1, 0))
+               for off, nc, wc in spans]                 # [(wc, P*nc)]
+        _, ys_seg = jax.lax.scan(step, yl0, (t0s, hs, jbs, uidxs))
+        # assemble the full-width padded trajectory ONCE outside the scan
+        inv = np.argsort(prot_perm)
+        T = len(out_idx)
+        oidx = jnp.asarray(out_idx) + 1
+        parts = []
+        for y0c, ysc, (off, nc, wc) in zip(yl0, ys_seg, spans):
+            all_c = jnp.concatenate([y0c[None], ysc], axis=0)  # (S+1,wc,PN_c)
+            sel_c = all_c[oidx]                                # (T, wc, PN_c)
+            pad = jnp.zeros((T, w - wc, P * nc), sel_c.dtype)
+            full = jnp.concatenate([sel_c, pad], axis=1)       # (T, w, PN_c)
+            parts.append(jnp.transpose(full, (2, 0, 1))
+                         .reshape(P, nc, T, w))
+        ys_p = jnp.concatenate(parts, axis=1)                  # (P, N, T, w)
+        ys = jnp.transpose(ys_p[:, inv], (0, 2, 1, 3)).reshape(
+            P, T, N * w)
+        success = jnp.all(jnp.isfinite(ys), axis=(1, 2))
+        return ys, success
 
     def step(yl, seg):
         t0, h, jb, uidx = seg

@@ -69,10 +69,12 @@ def _mv(M, v):
     return jnp.sum(M * v[None, :, :], axis=1)
 
 
-def _phi_kernel(ladder: int, w: int, L_ref, h_ref, E_ref, p1_ref, p2_ref):
-    L = L_ref[:]                                     # (w, w, BLK)
+def _phi_math(ladder: int, L, h):
+    """Shared kernel math: L (w, w, BLK) resident in VMEM, h scalar ->
+    (E, p1, p2). Factored out so the single-pair and all-pairs kernels
+    compile the identical ladder."""
+    w = L.shape[0]
     blk = L.shape[-1]
-    h = h_ref[0, 0]
     A = L * h
     # per-lane inf-norm -> squaring count s in [0, ladder]
     norm = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0, keepdims=True)
@@ -125,9 +127,25 @@ def _phi_kernel(ladder: int, w: int, L_ref, h_ref, E_ref, p1_ref, p2_ref):
         p2 = jnp.where(go, p2n, p2)
         hc = jnp.where(go, 2.0 * hc, hc)
 
+    return E, p1, p2
+
+
+def _phi_kernel(ladder: int, w: int, L_ref, h_ref, E_ref, p1_ref, p2_ref):
+    E, p1, p2 = _phi_math(ladder, L_ref[:], h_ref[0, 0])
     E_ref[:] = E
     p1_ref[:] = p1
     p2_ref[:] = p2
+
+
+def _phi_kernel_all(ladder: int, w: int, binv_ref, h_ref, L_ref,
+                    E_ref, p1_ref, p2_ref):
+    # binv/h arrive via scalar prefetch (SMEM, indexed by the pair axis
+    # of the grid) — a (U, 1)-shaped SMEM *input* would need a (1, 1)
+    # block, which the TPU lowering rejects for U > 1
+    E, p1, p2 = _phi_math(ladder, L_ref[0], h_ref[pl.program_id(0)])
+    E_ref[0] = E
+    p1_ref[0] = p1
+    p2_ref[0] = p2
 
 
 @partial(jax.jit, static_argnames=("ladder", "blk", "interpret"))
@@ -147,7 +165,11 @@ def phi_vectors_pallas(L, h: float, ladder: int, blk: int | None = None,
     """
     w, _, B = L.shape
     if blk is None:
-        blk = max(128, (2048 * 49 // (w * w)) // 128 * 128)
+        # VMEM footprint has a term linear in blk from the (w, blk) /
+        # sublane-padded buffers, so the pure 1/w^2 scaling overshoots
+        # badly for narrow blocks (w=2 at blk 14336 hit a measured
+        # 25.98M scoped-vmem stack vs the 16M limit); cap at 4096 lanes
+        blk = max(128, min(2048 * 49 // (w * w), 4096) // 128 * 128)
     Bp = ((B + blk - 1) // blk) * blk
     if Bp != B:
         L = jnp.concatenate(
@@ -170,4 +192,72 @@ def phi_vectors_pallas(L, h: float, ladder: int, blk: int | None = None,
         out_specs=(spec3, spec2, spec2),
         interpret=interpret,
     )(L, h_arr)
+    return E[..., :B], p1[..., :B], p2[..., :B]
+
+
+@partial(jax.jit, static_argnames=("ladder", "blk", "interpret"))
+def phi_vectors_pallas_all(L, binv, h_u, ladder: int,
+                           blk: int | None = None,
+                           interpret: bool = False):
+    """Tables for ALL (bucket, h) pairs in ONE pallas_call.
+
+    The per-pair variant re-traces (and re-Mosaic-compiles) once per
+    unique pair because the ladder length is static — measured ~U
+    compiles of ~5-40 s each through the remote-compile tunnel, and the
+    width-bucketed combinatorial path multiplies that by the number of
+    width classes (482 s trace+compile at a 12-protein demo). Here the
+    pair axis is a grid dimension: the kernel reads its bucket's L slab
+    via a scalar-prefetch index map and its own h from SMEM, the
+    per-lane squaring mask (`s`, clipped to the GLOBAL max ladder) keeps
+    short-segment pairs exact, and Mosaic compiles the body once.
+
+    Args:
+      L: (Bu, w, w, B) lane-layout blocks, one slab per unique bucket.
+      binv: (U,) int32 bucket index of each (bucket, h) pair.
+      h_u: (U,) segment length of each pair.
+      ladder: static ladder bound — max of :func:`ladder_len` over pairs.
+    Returns (E (U, w, w, B), p1 (U, w, B), p2 (U, w, B)).
+    """
+    Bu, w, _, B = L.shape
+    U = int(binv.shape[0])
+    if blk is None:
+        # VMEM footprint has a term linear in blk from the (w, blk) /
+        # sublane-padded buffers, so the pure 1/w^2 scaling overshoots
+        # badly for narrow blocks (w=2 at blk 14336 hit a measured
+        # 25.98M scoped-vmem stack vs the 16M limit); cap at 4096 lanes.
+        # The pair-axis grid double-buffers a little more than the
+        # per-pair kernel (w=9 measured 17.15M at the per-pair block
+        # size), hence the extra 3/4 headroom factor here.
+        blk = max(128,
+                  min(2048 * 49 // (w * w), 4096) * 3 // 4 // 128 * 128)
+    blk = min(blk, ((B + 127) // 128) * 128)
+    Bp = ((B + blk - 1) // blk) * blk
+    if Bp != B:
+        L = jnp.concatenate(
+            [L, jnp.zeros((Bu, w, w, Bp - B), L.dtype)], axis=-1)
+    binv = jnp.asarray(binv, jnp.int32)
+    h_vec = jnp.asarray(h_u, L.dtype)
+
+    grid = (U, Bp // blk)
+    spec_L = pl.BlockSpec((1, w, w, blk),
+                          lambda u, i, bv, hv: (bv[u], 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_E = pl.BlockSpec((1, w, w, blk),
+                          lambda u, i, bv, hv: (u, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((1, w, blk), lambda u, i, bv, hv: (u, 0, i),
+                          memory_space=pltpu.VMEM)
+    E, p1, p2 = pl.pallas_call(
+        partial(_phi_kernel_all, ladder, w),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[spec_L],
+            out_specs=(spec_E, spec_p, spec_p),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((U, w, w, Bp), L.dtype),
+                   jax.ShapeDtypeStruct((U, w, Bp), L.dtype),
+                   jax.ShapeDtypeStruct((U, w, Bp), L.dtype)),
+        interpret=interpret,
+    )(binv, h_vec, L)
     return E[..., :B], p1[..., :B], p2[..., :B]

@@ -131,3 +131,75 @@ class TestExponentialSimulate:
         J_an = jax.vmap(jac_one)(Y, pj_b)
         np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ref),
                                    atol=1e-12)
+
+
+def make_hetero_system(seed=0):
+    """Model-2 network with site counts 1/1/2/3 -> block widths 3/3/5/9:
+    the width-bucketed propagator path activates automatically (w = 9)."""
+    inter = pd.DataFrame({
+        "protein": ["GA", "GA", "GB", "GC", "GD", "GD", "GD"],
+        "psite": ["S1", "S2", "S1", "S1", "S1", "S2", "S3"],
+        "kinase": ["K1", "K1", "K2", "K1", "K2", "K1", "K2"],
+    })
+    tf = pd.DataFrame({"tf": ["GA", "GC", "GD"],
+                       "target": ["GB", "GA", "GC"]})
+    topo = build_topology(inter, tf, model=2)
+    Kmat = build_kinase_matrix(topo.kinases, None, GRID)
+    Kmat *= 1.0 + 0.25 * np.sin(np.arange(len(GRID)))[None, :]
+    sys_ = GlobalSystem(topo, GRID, Kmat)
+    rng = np.random.default_rng(seed)
+    p = default_params(topo)
+    for k in ["c_k", "A_i", "B_i", "C_i", "D_i", "E_i"]:
+        p[k] = rng.uniform(0.1, 1.5, p[k].shape)
+    p["Dp_i"] = rng.uniform(0.2, 2.5, p["Dp_i"].shape) * topo.site_mask()
+    p["tf_scale"] = 2.2
+    return sys_, {k: jnp.asarray(v) for k, v in p.items()}
+
+
+class TestWidthBucketing:
+    """Per-width-class propagator tables for the combinatorial mechanism
+    (round-3 model-2 throughput fix) must be exact: the padded rows/cols
+    of every affine block are zero, so the narrow top-left corner
+    propagates identically to the padded full-width table."""
+
+    def _batched(self, sys_, pj, pop=3, seed=1, **kw):
+        from phoskintime_tpu.network.expo import exponential_simulate_batched
+
+        rng = np.random.default_rng(seed)
+        pb = {k: jnp.asarray(np.asarray(v)[None]
+                             * rng.uniform(0.7, 1.3, (pop,) + (1,) * np.ndim(v)))
+              for k, v in pj.items()}
+        return exponential_simulate_batched(sys_, pb, GRID, substep=8.0, **kw)
+
+    def test_bucketed_matches_unbucketed_auto(self):
+        sys_, pj = make_hetero_system()
+        assert sys_.topo.width == 9
+        ys_b, ok_b = self._batched(sys_, pj, width_bucketing=True)
+        ys_f, ok_f = self._batched(sys_, pj, width_bucketing=False)
+        assert bool(jnp.all(ok_b)) and bool(jnp.all(ok_f))
+        np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ys_f),
+                                   rtol=2e-4, atol=1e-6)
+
+    def test_bucketed_matches_rk45(self):
+        sys_, pj = make_hetero_system(seed=2)
+        ref = simulate(sys_, pj, jnp.asarray(GRID), rtol=1e-10, atol=1e-12,
+                       max_steps=500_000)
+        assert bool(ref.success)
+        from phoskintime_tpu.network.expo import exponential_simulate_batched
+
+        pb = {k: jnp.asarray(v)[None] for k, v in pj.items()}
+        ys, ok = exponential_simulate_batched(sys_, pb, GRID, substep=2.0,
+                                              width_bucketing=True)
+        assert bool(jnp.all(ok))
+        np.testing.assert_allclose(
+            np.asarray(ys[0]), np.asarray(ref.ys), rtol=5e-3, atol=1e-5)
+
+    def test_forced_on_small_width(self):
+        """width_bucketing=True buckets even below the auto threshold
+        (w = 5 here) and still matches the full-width path."""
+        sys_, pj = make_system(2)
+        ys_b, ok_b = self._batched(sys_, pj, width_bucketing=True)
+        ys_f, ok_f = self._batched(sys_, pj, width_bucketing=False)
+        assert bool(jnp.all(ok_b)) and bool(jnp.all(ok_f))
+        np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ys_f),
+                                   rtol=2e-4, atol=1e-6)

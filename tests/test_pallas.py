@@ -128,3 +128,50 @@ class TestPhiTablesPallas:
             scale = float(jnp.max(jnp.abs(b))) + 1e-30
             np.testing.assert_allclose(np.asarray(a) / scale,
                                        np.asarray(b) / scale, atol=2e-5)
+
+
+class TestPhiPallasAll:
+    """All-pairs kernel (one pallas_call for every (bucket, h) pair)."""
+
+    def test_matches_per_pair(self):
+        from phoskintime_tpu.ops.phi_pallas import (ladder_len,
+                                                    phi_vectors_pallas,
+                                                    phi_vectors_pallas_all)
+
+        rng = np.random.default_rng(3)
+        Bu, w, B = 3, 7, 200
+        L = rng.normal(0, 0.5, (Bu, w, w, B)).astype(np.float32)
+        for i in range(w):
+            L[:, i, i, :] = -rng.uniform(0.01, 20.0, (Bu, B))
+        L = jnp.asarray(L)
+        binv = np.asarray([0, 1, 2, 1, 0], np.int32)
+        h_u = np.asarray([0.0625, 1.0, 16.0, 4.0, 0.5], np.float32)
+        lad = max(ladder_len(w, float(h)) for h in h_u)
+        E_a, p1_a, p2_a = phi_vectors_pallas_all(L, binv, h_u, lad,
+                                                 blk=128, interpret=True)
+        for u in range(len(h_u)):
+            E, p1, p2 = phi_vectors_pallas(L[binv[u]], float(h_u[u]),
+                                           ladder_len(w, float(h_u[u])),
+                                           blk=128, interpret=True)
+            for a, b in [(E_a[u], E), (p1_a[u], p1), (p2_a[u], p2)]:
+                scale = float(jnp.max(jnp.abs(b))) + 1e-30
+                np.testing.assert_allclose(np.asarray(a) / scale,
+                                           np.asarray(b) / scale,
+                                           atol=2e-5)
+
+    def test_unpadded_tail(self):
+        """B not a multiple of blk exercises the zero-pad tail path."""
+        from phoskintime_tpu.ops.phi_pallas import (ladder_len,
+                                                    phi_vectors_pallas_all)
+
+        rng = np.random.default_rng(4)
+        w, B = 5, 77
+        L = rng.normal(0, 0.4, (1, w, w, B)).astype(np.float32)
+        for i in range(w):
+            L[:, i, i, :] = -rng.uniform(0.1, 5.0, (1, B))
+        h_u = np.asarray([2.0], np.float32)
+        E, p1, p2 = phi_vectors_pallas_all(
+            jnp.asarray(L), np.asarray([0], np.int32), h_u,
+            ladder_len(w, 2.0), blk=128, interpret=True)
+        assert E.shape == (1, w, w, B) and p1.shape == (1, w, B)
+        assert bool(jnp.all(jnp.isfinite(E)))
