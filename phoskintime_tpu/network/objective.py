@@ -105,7 +105,7 @@ def make_objective(system, slices, loss_data, defaults, lambdas, time_grid,
 def make_population_objective(system, slices, loss_data, defaults, lambdas,
                               time_grid, loss_mode=0, fail_value=1e12,
                               y0=None, substep=16.0, use_pallas=None,
-                              differentiable=False):
+                              differentiable=False, pop_chunk=8192):
     """Natively-batched objective: thetas (P, n) -> F (P, 3), using the
     exponential (ETD2RK) integrator's flat-batch fast path.
 
@@ -113,7 +113,14 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
     (fixed segment count, no while_loop lane divergence, propagators as one
     lane-parallel expm). ``use_pallas=False`` keeps the propagator build
     pure-XLA so the returned objective is differentiable (jax.grad) —
-    the gradient polish stage requires it."""
+    the gradient polish stage requires it.
+
+    ``pop_chunk``: populations larger than this run as a ``lax.map`` over
+    chunks of exactly this size (when divisible). The propagator tables
+    are (U, w, w, P*N); past ~8k candidates they spill the scan's working
+    set out of the v5e's useful HBM bandwidth window (58k evals/s @ 8192
+    -> 38k @ 32768, RESULTS_r2) — chunking holds every chunk at the peak
+    rate with one compiled program. None disables chunking."""
     from phoskintime_tpu.network.expo import exponential_simulate_batched
     from phoskintime_tpu.network.params import unpack_params
 
@@ -123,7 +130,7 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
     t_eval = jnp.asarray(time_grid)
     defaults_j = {k: jnp.asarray(v) for k, v in defaults.items()}
 
-    def objective_pop(thetas):
+    def objective_chunk(thetas):
         params_b = jax.vmap(
             lambda th: unpack_params(th, slices, system.topo))(thetas)
 
@@ -149,6 +156,15 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
         F = jax.vmap(losses_one)(ys) + prior_penalty[:, None]
         ok = success & jnp.all(jnp.isfinite(F), axis=1)
         return jnp.where(ok[:, None], F, jnp.full_like(F, fail_value))
+
+    def objective_pop(thetas):
+        P = thetas.shape[0]
+        if pop_chunk is not None and P > pop_chunk and P % pop_chunk == 0:
+            out = jax.lax.map(objective_chunk,
+                              thetas.reshape(-1, pop_chunk,
+                                             thetas.shape[1]))
+            return out.reshape(P, -1)
+        return objective_chunk(thetas)
 
     objective_pop._is_population = True
     return objective_pop

@@ -449,3 +449,44 @@ class TestShardedExpoObjective:
         assert F_sharded.shape == (16, 3)
         assert np.all(np.isfinite(F_sharded))
         np.testing.assert_allclose(F_sharded, F_local, rtol=1e-6)
+
+    def test_population_objective_chunked_matches(self):
+        """pop_chunk splits oversized populations into a lax.map over
+        equal chunks (the pop>=16k HBM-spill fix) — bitwise-equal F."""
+        from phoskintime_tpu.network.objective import make_population_objective
+
+        topo, Kmat = small_net()
+        sys = GlobalSystem(topo, GRID, Kmat)
+        rng = np.random.default_rng(1)
+        rows_p = [(p, t, rng.uniform(0.5, 2.0))
+                  for p in topo.proteins for t in GRID]
+        rows_r = [(p, t, rng.uniform(0.5, 2.0))
+                  for p in topo.proteins for t in RNA_GRID]
+        rows_ph = [(p, s, t, rng.uniform(0.5, 2.0))
+                   for p in topo.proteins
+                   for s in topo.sites[topo.p2i[p]] for t in GRID]
+        df_p = pd.DataFrame(rows_p, columns=["protein", "time", "fc"])
+        df_r = pd.DataFrame(rows_r, columns=["protein", "time", "fc"])
+        df_ph = pd.DataFrame(rows_ph,
+                             columns=["protein", "psite", "time", "fc"])
+        grid = np.unique(np.concatenate([GRID, RNA_GRID]))
+        ld = prepare_loss_data(topo, df_p, df_r, df_ph, grid)
+        defaults = default_params(topo)
+        bounds = {k: (1e-3, 4.0) for k in
+                  ["c_k", "A_i", "B_i", "C_i", "D_i", "Dp_i", "E_i",
+                   "tf_scale"]}
+        theta0, slices, xl, xu = init_raw_params(defaults, topo, bounds)
+        lambdas = {"protein": 1.0, "rna": 1.0, "phospho": 1.0, "prior": 0.1}
+        obj_full = make_population_objective(sys, slices, ld, defaults,
+                                             lambdas, grid, pop_chunk=None)
+        obj_chunk = make_population_objective(sys, slices, ld, defaults,
+                                              lambdas, grid, pop_chunk=4)
+        pop = jnp.asarray(theta0[None]
+                          + 0.1 * rng.normal(size=(12, len(theta0))))
+        F_full = np.asarray(obj_full(pop))
+        F_chunk = np.asarray(obj_chunk(pop))          # 12 = 3 chunks of 4
+        np.testing.assert_allclose(F_chunk, F_full, rtol=1e-6, atol=1e-8)
+        # indivisible pop falls back to the unchunked program
+        pop13 = jnp.concatenate([pop, pop[:1]])
+        F13 = np.asarray(obj_chunk(pop13))
+        np.testing.assert_allclose(F13[:12], F_full, rtol=1e-6, atol=1e-8)
