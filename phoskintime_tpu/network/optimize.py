@@ -68,7 +68,8 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                    ftol=0.0025, ftol_period=30,
                    n_max_evals=100_000, solver="auto",
                    checkpoint_path=None, checkpoint_every=10,
-                   polish_steps=0, polish_lr=0.02) -> GlobalFitResult:
+                   polish_steps=0, polish_lr=0.02,
+                   device_variation=True) -> GlobalFitResult:
     """End-to-end global fit (the runner.main optimization core).
 
     solver: "auto" uses the batched exponential fast path for every
@@ -80,6 +81,13 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
     gradient-based multistart over Das-Dennis scalarization directions
     (no reference counterpart: the objective here is differentiable
     end-to-end, LSODA is not).
+
+    device_variation (default True) fuses tournament/SBX/PM variation
+    into the evaluation's XLA program when the objective is
+    population-native (solver "expo"/"auto"), leaving only survival on the
+    host — same operator distributions, jax RNG stream
+    (:func:`phoskintime_tpu.ops.nsga.make_device_ga_step`). Set False for
+    the host-numpy reference pipeline.
 
     polish_steps > 0 runs the exact-gradient Adam polish
     (:mod:`phoskintime_tpu.network.polish`) on the Pareto set after the
@@ -125,6 +133,7 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
         if callback is not None:
             callback(gen, X, F)
 
+    device_step = None
     if optimizer == "gradient":
         from phoskintime_tpu.ops.nsga import fast_non_dominated_sort
         from phoskintime_tpu.network.polish import gradient_multistart
@@ -158,11 +167,21 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
         F_all = np.asarray(sampler.F)
         res = MOOResult(X_all, F_all, pX, pF, [], 0, len(X_all))
     else:
+        # fused on-device variation+evaluation (one XLA call per
+        # generation; host keeps survival only) whenever the objective is
+        # population-native — the host GA pipeline was 38 ms/gen at the
+        # north-star shape vs 24 ms device compute (RESULTS_r2.md)
+        if getattr(objective, "_is_population", False) \
+                and device_variation:
+            from phoskintime_tpu.ops.nsga import make_device_ga_step
+
+            device_step = make_device_ga_step(objective, xl, xu, pop,
+                                              mesh=mesh)
         res = run_unsga3(evaluate, xl, xu, pop_size=pop, n_gen=n_gen,
                          seed=seed, callback=cb, logger=logger,
                          verbose=logger is not None, x0=x0,
                          ftol=ftol, ftol_period=ftol_period,
-                         n_max_evals=n_max_evals)
+                         n_max_evals=n_max_evals, device_step=device_step)
 
     # ---- iterative refinement (bound zoom + warm start) -------------------
     if refine and num_refinements > 0:
@@ -177,7 +196,8 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                                               new_xu, rng)
             nxt = run_unsga3(evaluate, new_xl, new_xu, pop_size=pop,
                              n_gen=max(10, n_gen // 4), seed=seed + 2,
-                             x0=x0, ftol=ftol, ftol_period=ftol_period)
+                             x0=x0, ftol=ftol, ftol_period=ftol_period,
+                             device_step=device_step)
             total_evals += nxt.n_evals
             if nxt.pareto_F.min(axis=0).sum() >= cur.pareto_F.min(axis=0).sum():
                 break  # no improvement -> stop refining

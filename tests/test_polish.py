@@ -173,3 +173,65 @@ class TestLazyHVTruncate:
                 contrib = hv_contributions_3d(F[alive], ref)
                 alive.pop(int(np.argmin(contrib)))
             assert sorted(got) == sorted(alive)
+
+
+class TestDeviceVariation:
+    """Fused on-device tournament/SBX/PM/evaluate (round-3 host-GA fix)."""
+
+    def test_device_step_semantics(self):
+        import jax.numpy as jnp
+
+        from phoskintime_tpu.ops.nsga import make_device_ga_step
+
+        rng = np.random.default_rng(0)
+        n_var, pop = 12, 32
+        xl = np.zeros(n_var)
+        xu = np.ones(n_var) * 2.0
+
+        def pop_obj(X):
+            return jnp.stack([jnp.sum(X ** 2, axis=1),
+                              jnp.sum((X - 1) ** 2, axis=1),
+                              jnp.sum(jnp.abs(X), axis=1)], axis=1)
+
+        step = make_device_ga_step(pop_obj, xl, xu, pop)
+        X = rng.uniform(xl, xu, (pop, n_var))
+        rank = rng.integers(0, 3, pop)
+        nd = rng.random(pop)
+        off, F = step(X, rank, nd, seed=1)
+        assert off.shape == (pop, n_var) and F.shape == (pop, 3)
+        assert np.all(off >= xl - 1e-6) and np.all(off <= xu + 1e-6)
+        assert np.all(np.isfinite(F))
+        # F is the objective of the returned offspring
+        F_chk = np.asarray(pop_obj(jnp.asarray(off, jnp.float32)))
+        np.testing.assert_allclose(F, F_chk, rtol=1e-5)
+        # different seeds -> different offspring; same seed -> identical
+        off2, _ = step(X, rank, nd, seed=2)
+        assert not np.allclose(off, off2)
+        off1b, _ = step(X, rank, nd, seed=1)
+        np.testing.assert_array_equal(off, off1b)
+        # no offspring row duplicates a population row exactly
+        pop_set = {X[i].astype(np.float32).tobytes() for i in range(pop)}
+        assert not any(off[i].astype(np.float32).tobytes() in pop_set
+                       for i in range(pop))
+        # traced bounds: a zoomed box works without error and is respected
+        off3, _ = step(X * 0.4 + 0.3, rank, nd, 3, xl + 0.25, xu - 0.25)
+        assert np.all(off3 >= xl + 0.25 - 1e-6)
+        assert np.all(off3 <= xu - 0.25 + 1e-6)
+
+    def test_global_fit_device_variation(self):
+        from phoskintime_tpu.network.optimize import run_global_fit
+
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        res_d = run_global_fit(sys, slices, ld, defaults, LAMBDAS, grid,
+                               xl, xu, pop=16, n_gen=6, seed=0, ftol=0.0,
+                               device_variation=True)
+        res_h = run_global_fit(sys, slices, ld, defaults, LAMBDAS, grid,
+                               xl, xu, pop=16, n_gen=6, seed=0, ftol=0.0,
+                               device_variation=False)
+        # both search paths work and improve comparably (not bitwise: the
+        # device path uses a jax RNG stream)
+        assert np.all(np.isfinite(res_d.pareto_F))
+        d_best = res_d.pareto_F.sum(axis=1).min()
+        h_best = res_h.pareto_F.sum(axis=1).min()
+        assert d_best < 10 * h_best + 1.0
+        assert res_d.n_evals == res_h.n_evals
