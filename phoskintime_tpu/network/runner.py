@@ -269,6 +269,13 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
                  ).to_csv(os.path.join(out_dir, "steady_state_check.csv"),
                           index=False)
 
+    # mechanistic discovery report at the fitted optimum (reference
+    # scripts/mechanistic_insights.py main(): its loader rebuilds the
+    # System from saved artifacts — here the fitted system is in hand)
+    from phoskintime_tpu.analysis.insights import run_mechanistic_discovery
+
+    run_mechanistic_discovery(system, params_best, df_tf, out_dir=out_dir)
+
     # ---- 11. figures + report ---------------------------------------------
     from phoskintime_tpu.report.html import create_report
     from phoskintime_tpu.report.plotter import (

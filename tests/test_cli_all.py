@@ -137,3 +137,6 @@ class TestCLIAll:
                    for f in os.listdir(out))
         ts_dir = out / "gene_timeseries"
         assert ts_dir.is_dir() and len(list(ts_dir.glob("ts_*.png"))) >= 2
+        # mechanistic discovery report (round-3: wired into the runner)
+        assert any(f.startswith("mechanistic_discovery_report")
+                   for f in os.listdir(out))
