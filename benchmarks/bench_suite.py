@@ -148,7 +148,63 @@ def main():
     section("3_model2_hypercube_throughput",
             5 * 2048 / (time.perf_counter() - t0),
             "combinatorial-mechanism solves/s (pop=2048, N=40, "
-            "2^Smax states)")
+            "2^Smax states, width-bucketed)")
+
+    # 3c-ablation: same program with width bucketing forced OFF — the
+    # round-2 baseline path (every protein padded to w = 1 + 2^Smax)
+    objp2f = make_population_objective(b2["system"], b2["slices"],
+                                       b2["loss_data"], b2["defaults"],
+                                       b2["lambdas"], b2["grid"],
+                                       width_bucketing=False)
+    f2f = jax.jit(objp2f)
+    F2f = f2f(thetas2)
+    jax.block_until_ready(F2f)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        F2f = f2f(thetas2)
+    jax.block_until_ready(F2f)
+    section("3_model2_unbucketed_ablation",
+            5 * 2048 / (time.perf_counter() - t0),
+            "solves/s (identical problem, full-width padded tables)",
+            {"max_abs_diff": float(jnp.max(jnp.abs(F2 - F2f)))})
+
+    # 3d: oversized-population chunking (the pop>=16k HBM-spill fix):
+    # 32k lanes through lax.map chunks of 8192 vs the single program
+    thetas32 = jnp.asarray(b["theta0"][None]
+                           + 0.05 * rng.normal(size=(32768,
+                                                     len(b["theta0"]))),
+                           jnp.float32)
+    for name, chunk in [("3_pop32k_chunked", 8192),
+                        ("3_pop32k_unchunked_ablation", None)]:
+        objc = make_population_objective(b["system"], b["slices"],
+                                         b["loss_data"], b["defaults"],
+                                         b["lambdas"], b["grid"],
+                                         pop_chunk=chunk)
+        fc_ = jax.jit(objc)
+        Fc = fc_(thetas32)
+        jax.block_until_ready(Fc)
+        t0 = time.perf_counter()
+        Fc = fc_(thetas32)
+        jax.block_until_ready(Fc)
+        section(name, 32768 / (time.perf_counter() - t0),
+                "full-network solves/s (pop=32768, N=40)")
+
+    # 3e: fused on-device GA variation vs the host numpy pipeline at the
+    # north-star population shape (the 38 ms/gen host-term fix) — same
+    # seeds, same generation count; s/gen includes evaluation both ways
+    for name, dev in [("3_ga_device_variation", True),
+                      ("3_ga_host_variation_ablation", False)]:
+        t0 = time.perf_counter()
+        resg = run_global_fit(b["system"], b["slices"], b["loss_data"],
+                              b["defaults"], b["lambdas"], b["grid"],
+                              b["xl"], b["xu"], pop=384, n_gen=20, seed=0,
+                              ftol=0.0, frechet_pick=False,
+                              device_variation=dev)
+        dt = time.perf_counter() - t0
+        section(name, dt / 20 * 1e3, "ms/generation (pop=384, incl eval)",
+                {"wall_s": round(dt, 2),
+                 "ideal": [round(float(v), 5)
+                           for v in resg.pareto_F.min(axis=0)]})
 
     t0 = time.perf_counter()
     res3 = run_global_fit(b["system"], b["slices"], b["loss_data"],

@@ -105,7 +105,8 @@ def make_objective(system, slices, loss_data, defaults, lambdas, time_grid,
 def make_population_objective(system, slices, loss_data, defaults, lambdas,
                               time_grid, loss_mode=0, fail_value=1e12,
                               y0=None, substep=16.0, use_pallas=None,
-                              differentiable=False, pop_chunk=8192):
+                              differentiable=False, pop_chunk=8192,
+                              width_bucketing=None):
     """Natively-batched objective: thetas (P, n) -> F (P, 3), using the
     exponential (ETD2RK) integrator's flat-batch fast path.
 
@@ -120,7 +121,12 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
     are (U, w, w, P*N); past ~8k candidates they spill the scan's working
     set out of the v5e's useful HBM bandwidth window (58k evals/s @ 8192
     -> 38k @ 32768, RESULTS_r2) — chunking holds every chunk at the peak
-    rate with one compiled program. None disables chunking."""
+    rate with one compiled program. None disables chunking.
+
+    ``width_bucketing`` forwards to
+    :func:`~phoskintime_tpu.network.expo.exponential_simulate_batched`
+    (None = auto: per-width-class propagator tables for the combinatorial
+    mechanism)."""
     from phoskintime_tpu.network.expo import exponential_simulate_batched
     from phoskintime_tpu.network.params import unpack_params
 
@@ -143,7 +149,8 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
 
         ys, success = exponential_simulate_batched(
             system, params_b, t_eval, substep=substep, y0=y0,
-            use_pallas=use_pallas, differentiable=differentiable)
+            use_pallas=use_pallas, differentiable=differentiable,
+            width_bucketing=width_bucketing)
 
         def losses_one(Y_flat):
             obs = extract_observables(system, Y_flat)
