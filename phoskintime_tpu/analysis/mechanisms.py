@@ -193,25 +193,31 @@ def fit_all_mechanisms(df_kin, df_tf, df_prot, df_rna, df_pho, tp, *,
     lambdas = lambdas or {"protein": 1.0, "rna": 1.0, "phospho": 1.0,
                           "prior": 0.0}
     grid = np.unique(np.concatenate([np.asarray(tp_p, float),
-                                     np.asarray(tp_r, float)]))
+                                     np.asarray(tp_r, float),
+                                     np.asarray(tp_ph, float)]))
 
     fits, trajs, rows = {}, {}, []
     for model in models:
         topo = build_topology(df_kin, df_tf, model=model,
                               max_sites_cap=(max_sites_cap if model == 2
                                              else None))
-        Kmat = build_kinase_matrix(topo.kinases, df_prot, tp_p)
+        # same observation filtering as the runner: keep only rows whose
+        # protein maps into this mechanism's topology (differs per model)
+        dfp = df_prot[df_prot["protein"].isin(topo.p2i)]
+        dfr = df_rna[df_rna["protein"].isin(topo.p2i)]
+        dfh = df_pho[df_pho["protein"].isin(topo.p2i)]
+        Kmat = build_kinase_matrix(topo.kinases, dfp, tp_p)
         system = GlobalSystem(topo, tp_p, Kmat, dtype=np.float32)
-        ld = prepare_loss_data(topo, df_prot, df_rna, df_pho, grid)
+        ld = prepare_loss_data(topo, dfp, dfr, dfh, grid)
         defaults = default_params(topo, np.float32)
-        bounds = calculate_bio_bounds(topo, df_prot, df_rna, Kmat)
+        bounds = calculate_bio_bounds(topo, dfp, dfr, Kmat)
         theta0, slices, xl, xu = init_raw_params(defaults, topo, bounds)
 
         res = run_global_fit(
             system, slices, ld, defaults, lambdas, grid, xl, xu,
-            pop=pop, n_gen=n_gen, seed=seed, mesh=mesh,
+            pop=pop, n_gen=n_gen, seed=seed, loss_mode=loss_mode, mesh=mesh,
             polish_steps=polish_steps, frechet_pick=True,
-            df_prot=df_prot, df_rna=df_rna, df_pho=df_pho,
+            df_prot=dfp, df_rna=dfr, df_pho=dfh,
             t_points=(tp_p, tp_r, tp_ph))
         fits[model] = res
 

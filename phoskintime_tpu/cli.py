@@ -359,7 +359,12 @@ def cmd_diagram(args):
                 f"sheet 'Alpha Values' of {args.alpha_file} not found "
                 "(pass the workbook path, not an individual sheet CSV)")
         if beta is not None and "Beta" in beta.columns:
-            beta["Psite"] = beta["Psite"].fillna("")
+            # per-kinase-only Beta sheets carry no Psite column
+            # (io/load.py:169-171 supports both workbook layouts)
+            if "Psite" in beta.columns:
+                beta["Psite"] = beta["Psite"].fillna("")
+            else:
+                beta["Psite"] = ""
         else:
             beta = None
         paths["fitted_network"] = fitted_network_schematic(

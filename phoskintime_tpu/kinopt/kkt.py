@@ -111,7 +111,13 @@ def plot_constraint_violations(alpha_viol, beta_viol, out_dir,
 
     a = alpha_viol.abs().groupby(level=0).sum() if alpha_viol.index.nlevels > 1 \
         else alpha_viol.abs()
-    b = beta_viol.abs().reindex(a.index, fill_value=0.0)
+    b = beta_viol.abs()
+    # union of indices: a kinase that is not itself a substrate gene must
+    # still show its sum(beta)=1 violation (reindexing onto a's index alone
+    # would silently drop it)
+    idx = a.index.union(b.index)
+    a = a.reindex(idx, fill_value=0.0)
+    b = b.reindex(idx, fill_value=0.0)
     comb = pd.DataFrame({"Alpha Violations": a, "Beta Violations": b})
     comb["Total"] = comb.sum(axis=1)
     comb = comb.sort_values("Total")

@@ -166,11 +166,17 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
 
     def objective_pop(thetas):
         P = thetas.shape[0]
-        if pop_chunk is not None and P > pop_chunk and P % pop_chunk == 0:
+        if pop_chunk is not None and P > pop_chunk:
+            # pad (edge rows — valid thetas, results sliced away) so a
+            # non-multiple population still chunks instead of spilling HBM
+            pad = (-P) % pop_chunk
+            if pad:
+                thetas = jnp.concatenate(
+                    [thetas, jnp.repeat(thetas[-1:], pad, axis=0)], axis=0)
             out = jax.lax.map(objective_chunk,
                               thetas.reshape(-1, pop_chunk,
                                              thetas.shape[1]))
-            return out.reshape(P, -1)
+            return out.reshape(P + pad, -1)[:P]
         return objective_chunk(thetas)
 
     objective_pop._is_population = True

@@ -131,7 +131,10 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
         if ck is not None:
             ck(gen, X, F)
         if callback is not None:
-            callback(gen, X, F)
+            # propagate the early-stop protocol (truthy return stops the
+            # GA, e.g. the hyperparameter scan's pruning callback)
+            return callback(gen, X, F)
+        return False
 
     device_step = None
     if optimizer == "gradient":

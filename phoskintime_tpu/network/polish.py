@@ -80,16 +80,24 @@ def polish_solutions(system, slices, loss_data, defaults, lambdas, time_grid,
         loss_mode=loss_mode, y0=y0, differentiable=True)
 
     def scalar_total(X, W):
-        return jnp.sum(objective(X) * W)
+        s = jnp.sum(objective(X) * W, axis=1)  # per-member scores (aux)
+        return jnp.sum(s), s
 
-    grad_fn = jax.value_and_grad(scalar_total)
+    grad_fn = jax.value_and_grad(scalar_total, has_aux=True)
 
     def polish_chunk(X0, W):
+        # each step costs ONE forward+reverse sweep: the gradient pass's
+        # aux scores the INCOMING iterate (scoring the updated X with a
+        # second forward would make every step forward+reverse+forward)
         def adam_step(carry, i):
             X, m, v, bestX, bestS = carry
+            (_, score), g = grad_fn(X, W)
+            score = score.astype(bestS.dtype)  # keep the scan carry stable
+            better = score < bestS
+            bestX = jnp.where(better[:, None], X, bestX)
+            bestS = jnp.where(better, score, bestS)
             # cosine decay to 10% of lr
             lr_i = lr * (0.55 + 0.45 * jnp.cos(jnp.pi * i / steps))
-            _, g = grad_fn(X, W)
             m = adam_b1 * m + (1 - adam_b1) * g
             v = adam_b2 * v + (1 - adam_b2) * g * g
             t = i.astype(X.dtype) + 1.0
@@ -97,16 +105,17 @@ def polish_solutions(system, slices, loss_data, defaults, lambdas, time_grid,
             vh = v / (1 - adam_b2 ** t)
             X = X - lr_i * mh / (jnp.sqrt(vh) + 1e-8)
             X = jnp.clip(X, xl_j, xu_j)
-            score = jnp.sum(objective(X) * W, axis=1)
-            better = score < bestS
-            bestX = jnp.where(better[:, None], X, bestX)
-            bestS = jnp.where(better, score, bestS)
             return (X, m, v, bestX, bestS), None
 
-        s0 = jnp.sum(objective(X0) * W, axis=1)
-        init = (X0, jnp.zeros_like(X0), jnp.zeros_like(X0), X0, s0)
+        s_inf = jnp.full((X0.shape[0],), jnp.inf, X0.dtype)
+        init = (X0, jnp.zeros_like(X0), jnp.zeros_like(X0), X0, s_inf)
         (Xf, _, _, bestX, bestS), _ = jax.lax.scan(
             adam_step, init, jnp.arange(steps))
+        # the loop scores iterates one step behind — score the final one
+        sF = jnp.sum(objective(Xf) * W, axis=1).astype(bestS.dtype)
+        better = sF < bestS
+        bestX = jnp.where(better[:, None], Xf, bestX)
+        bestS = jnp.where(better, sF, bestS)
         return bestX, bestS
 
     polish_jit = jax.jit(polish_chunk)

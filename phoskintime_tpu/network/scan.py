@@ -54,10 +54,15 @@ class ScanTrial:
         return iter((self.lambdas, self.score))
 
 
-def _weighted_score(F: np.ndarray, lambdas: dict) -> tuple[float, int]:
-    """Reference scan.py:174-176: lambda-weighted sum over the front."""
-    w = np.array([lambdas["protein"], lambdas["rna"], lambdas["phospho"]])
-    s = F @ w
+def _weighted_score(F: np.ndarray) -> tuple[float, int]:
+    """Reference scan.py:174-176: lambda-weighted aggregate over the front.
+
+    Our inner objective already multiplies each component by its lambda
+    (``make_objective``: ``lp*norm_p*lambdas['protein'] + ...``), so the
+    aggregate is a plain sum — re-applying the lambdas here would square
+    the weighting and bias trial comparison toward small lambdas.
+    """
+    s = F.sum(axis=1)
     i = int(np.argmin(s))
     return float(s[i]), i
 
@@ -231,10 +236,10 @@ def run_hyperparameter_scan(system, slices, loss_data, defaults, time_grid,
 
         trial = ScanTrial(lambdas, np.inf, "complete")
 
-        def cb(gen, X, F, _t=trial, _lam=lambdas):
+        def cb(gen, X, F, _t=trial):
             if gen % gen_step:
                 return False
-            s, _ = _weighted_score(F, _lam)
+            s, _ = _weighted_score(F)
             _t.intermediate.append((gen, s))
             _t.n_gen = gen
             prev = reports_at(gen)
@@ -249,7 +254,7 @@ def run_hyperparameter_scan(system, slices, loss_data, defaults, time_grid,
                          n_gen=inner_gens, seed=seed + it, ftol=0.0,
                          n_max_evals=None, callback=cb)
         trial.n_gen = res.n_gen
-        score, bi = _weighted_score(res.pareto_F, lambdas)
+        score, bi = _weighted_score(res.pareto_F)
         trial.score = score
         trial.components = tuple(float(v) for v in res.pareto_F[bi])
         # pruned trials feed the sampler their (poor) partial score, like

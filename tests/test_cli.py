@@ -156,6 +156,23 @@ class TestCLI:
         wb = str(project / "data" / "kinopt_results.xlsx")
         _run(project, ["diagram", "--alpha-file", wb, "--top-edges", "10"])
         assert (out / "fitted_network.png").exists()
+        # per-kinase-only Beta sheet (no Psite column — the other workbook
+        # layout io/load.py supports) must render, not KeyError
+        from phoskintime_tpu.io.export import TableWriter
+        from phoskintime_tpu.io.load import read_table
+
+        wb2 = str(project / "data" / "kinopt_results_kin_only.xlsx")
+        alpha = read_table(wb, sheet_name="Alpha Values")
+        beta = read_table(wb, sheet_name="Beta Values")
+        beta = (beta.groupby("Kinase", as_index=False)["Beta"].mean()
+                if "Psite" in beta.columns else beta[["Kinase", "Beta"]])
+        w = TableWriter(wb2)
+        w.add("Alpha Values", alpha)
+        w.add("Beta Values", beta)
+        w.save()
+        (out / "fitted_network.png").unlink()
+        _run(project, ["diagram", "--alpha-file", wb2, "--top-edges", "10"])
+        assert (out / "fitted_network.png").exists()
 
     def test_clean(self, project):
         _run(project, ["clean"])

@@ -41,6 +41,17 @@ def tiny():
 
 
 class TestHyperparameterScan:
+    def test_front_score_single_weighting(self):
+        """Trial scores must NOT re-apply the lambdas: make_objective
+        already multiplies each component by its lambda, so the aggregate
+        is a plain row-sum (double weighting biased the scan toward small
+        lambdas — round-3 review finding)."""
+        from phoskintime_tpu.network.scan import _weighted_score
+
+        F = np.array([[3.0, 1.0, 1.0], [1.0, 1.0, 1.0], [2.0, 2.0, 5.0]])
+        s, i = _weighted_score(F)
+        assert i == 1 and s == pytest.approx(3.0)
+
     def test_scan_returns_best(self, tiny):
         from phoskintime_tpu.network.scan import run_hyperparameter_scan
 
@@ -521,3 +532,31 @@ class TestMechanismSelection:
         tbl = sel.paths["table"]
         for p in (tbl if isinstance(tbl, (list, tuple)) else [tbl]):
             assert os.path.exists(p)
+
+    def test_fit_all_mechanisms_filters_and_grids(self, tiny):
+        """Round-3 review regressions: (a) observed proteins absent from
+        the topology are filtered like the runner does (not a ValueError),
+        (b) the solver grid unions the PHOSPHO timepoints too,
+        (c) loss_mode is forwarded to the per-mechanism fits."""
+        from phoskintime_tpu.analysis.mechanisms import fit_all_mechanisms
+
+        sys_, topo, dfp, dfr, dfph, ld, grid = tiny
+        inter = pd.DataFrame({"protein": ["GA", "GB"], "psite": ["S1", "S1"],
+                              "kinase": ["K1", "K1"]})
+        tf = pd.DataFrame({"tf": ["GA"], "target": ["GB"]})
+        # a measured protein with no kinase-network edges (the normal case
+        # the runner filters for)
+        extra = pd.DataFrame({"protein": ["ZZ"], "time": [1.0], "fc": [1.2]})
+        dfp2 = pd.concat([dfp, extra], ignore_index=True)
+        dfr2 = pd.concat([dfr, extra], ignore_index=True)
+        # phospho timepoints NOT a subset of the protein/RNA grids
+        tp_p, tp_r = GRID[:3], RNA_GRID[:2]
+        tp_ph = np.array([0.0, 1.0, 4.0, 60.0])       # 60 only via tp_ph
+        dfp3 = dfp2[dfp2["time"].isin(tp_p) | (dfp2["protein"] == "ZZ")]
+        dfr3 = dfr2[dfr2["time"].isin(tp_r) | (dfr2["protein"] == "ZZ")]
+        dfph3 = dfph[dfph["time"].isin(tp_ph)]
+        sel = fit_all_mechanisms(inter, tf, dfp3, dfr3, dfph3,
+                                 (tp_p, tp_r, tp_ph),
+                                 models=(0,), pop=8, n_gen=2, seed=0,
+                                 loss_mode=1)
+        assert np.isfinite(sel.table["aic"]).all()

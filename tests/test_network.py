@@ -486,7 +486,9 @@ class TestShardedExpoObjective:
         F_full = np.asarray(obj_full(pop))
         F_chunk = np.asarray(obj_chunk(pop))          # 12 = 3 chunks of 4
         np.testing.assert_allclose(F_chunk, F_full, rtol=1e-6, atol=1e-8)
-        # indivisible pop falls back to the unchunked program
+        # indivisible pop pads to the chunk size (edge rows) and slices
+        # back — chunking must NOT silently deactivate (HBM-spill fix)
         pop13 = jnp.concatenate([pop, pop[:1]])
         F13 = np.asarray(obj_chunk(pop13))
         np.testing.assert_allclose(F13[:12], F_full, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(F13[12], F_full[0], rtol=1e-6, atol=1e-8)

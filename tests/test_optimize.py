@@ -96,6 +96,29 @@ class TestGlobalFit:
         assert len(res.pareto_X) >= 1
         assert np.all(np.isfinite(res.pareto_F))
 
+    def test_callback_early_stop_propagates(self):
+        """Regression (round-3 review): run_global_fit's callback wrapper
+        must forward the user callback's truthy return so the GA actually
+        stops early (the scan's pruning protocol)."""
+        sys, topo, true, dfp, dfr, dfph, ld, grid = tiny_problem()
+        defaults = default_params(topo)
+        bounds = {"c_k": (1e-3, 4.0), "A_i": (1e-3, 4.0), "B_i": (1e-3, 4.0),
+                  "C_i": (1e-3, 4.0), "D_i": (1e-3, 4.0), "Dp_i": (0.05, 5.0),
+                  "E_i": (1e-4, 4.0), "tf_scale": (0.5, 6.0)}
+        theta0, slices, xl, xu = init_raw_params(defaults, topo, bounds)
+        lambdas = {"protein": 1.0, "rna": 1.0, "phospho": 1.0, "prior": 0.0}
+        gens_seen = []
+
+        def stop_at_2(gen, X, F):
+            gens_seen.append(gen)
+            return gen >= 2
+
+        res = run_global_fit(sys, slices, ld, defaults, lambdas, grid, xl,
+                             xu, pop=16, n_gen=30, seed=0, ftol=0.0,
+                             frechet_pick=False, callback=stop_at_2)
+        assert max(gens_seen) <= 3          # stopped right after gen 2
+        assert res.history[-1][0] <= 3      # GA really terminated early
+
     def test_refined_fit_counts_all_evals(self):
         """Regression: after bound-zoom refinement n_evals must sum every
         round, not just the last (review finding, round 2)."""
