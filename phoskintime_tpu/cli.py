@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--polish-steps", type=int, default=None,
                    help="exact-gradient Adam polish steps applied to the "
                         "Pareto set after the search (0 = off)")
+    p.add_argument("--scan", action="store_true",
+                   help="hyperparameter scan (TPE outer loop with median "
+                        "pruning) to pick the loss lambdas before the fit "
+                        "(reference runner.py:124-126 --scan)")
     _add_common(p)
 
     p = sub.add_parser("mechanisms",
@@ -273,6 +277,8 @@ def cmd_global_model(args):
         overrides["refine"] = True
     if getattr(args, "polish_steps", None) is not None:
         overrides["polish_steps"] = args.polish_steps
+    if getattr(args, "scan", False):
+        overrides["hyperparam_scan"] = True
     if overrides:
         import dataclasses
         cfg = dataclasses.replace(cfg, **overrides)

@@ -95,6 +95,11 @@ class PhosKinConfig:
     lambda_rna: float = 1.0
     lambda_phospho: float = 1.0
     hyperparam_scan: bool = False
+    # scan sizing (reference global_model/scan.py pulls N_TRIALS etc. from
+    # its config module; these feed run_hyperparameter_scan)
+    scan_trials: int = 20
+    scan_inner_gens: int = 15
+    scan_inner_pop: int = 64
     # data flags
     normalize_fc_steady: bool = False
     use_initial_condition_from_data: bool = False

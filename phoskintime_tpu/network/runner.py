@@ -122,6 +122,8 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
         scan_dir = os.path.join(out_dir, "hyperparam_scan")
         best_lams, trials = run_hyperparameter_scan(
             system, slices, loss_data, defaults, grid, xl, xu,
+            n_outer=cfg.scan_trials, inner_gens=cfg.scan_inner_gens,
+            inner_pop=cfg.scan_inner_pop,
             seed=cfg.seed, loss_mode=cfg.loss, mesh=mesh, logger=logger,
             out_dir=scan_dir,
             checkpoint_path=os.path.join(scan_dir, "scan_state.json"))

@@ -174,5 +174,20 @@ class TestCLI:
         _run(project, ["diagram", "--alpha-file", wb2, "--top-edges", "10"])
         assert (out / "fitted_network.png").exists()
 
+    def test_global_model_scan_flag(self, project, monkeypatch):
+        """--scan maps to cfg.hyperparam_scan (reference runner.py:124-126
+        --scan); intercept the runner to assert the override without a fit."""
+        import phoskintime_tpu.network.runner as runner_mod
+
+        seen = {}
+
+        def fake_main(cfg, out_dir=None, **kw):
+            seen["scan"] = cfg.hyperparam_scan
+            seen["polish"] = cfg.polish_steps
+
+        monkeypatch.setattr(runner_mod, "main", fake_main)
+        _run(project, ["global-model", "--scan", "--polish-steps", "7"])
+        assert seen == {"scan": True, "polish": 7}
+
     def test_clean(self, project):
         _run(project, ["clean"])
