@@ -69,7 +69,8 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                    n_max_evals=100_000, solver="auto",
                    checkpoint_path=None, checkpoint_every=10,
                    polish_steps=0, polish_lr=0.02,
-                   device_variation=True) -> GlobalFitResult:
+                   device_variation=True,
+                   gens_per_dispatch=1) -> GlobalFitResult:
     """End-to-end global fit (the runner.main optimization core).
 
     solver: "auto" uses the batched exponential fast path for every
@@ -88,6 +89,16 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
     host — same operator distributions, jax RNG stream
     (:func:`phoskintime_tpu.ops.nsga.make_device_ga_step`). Set False for
     the host-numpy reference pipeline.
+
+    gens_per_dispatch > 1 moves the ENTIRE generation loop on device
+    (:func:`phoskintime_tpu.ops.nsga_device.run_unsga3_device`):
+    variation, evaluation, non-dominated ranking and NSGA-III niching
+    survival run as one XLA program per block of that many generations,
+    so dispatch latency and host bookkeeping amortize by the block
+    length. Checkpoint/pruning callbacks and the ftol stop then fire at
+    block granularity (the ftol window itself still uses the exact
+    per-generation ideal history). Requires the population-native
+    objective (solver "expo"/"auto").
 
     polish_steps > 0 runs the exact-gradient Adam polish
     (:mod:`phoskintime_tpu.network.polish`) on the Pareto set after the
@@ -175,16 +186,27 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
         # population-native — the host GA pipeline was 38 ms/gen at the
         # north-star shape vs 24 ms device compute (RESULTS_r2.md)
         if getattr(objective, "_is_population", False) \
-                and device_variation:
-            from phoskintime_tpu.ops.nsga import make_device_ga_step
+                and gens_per_dispatch > 1:
+            from phoskintime_tpu.ops.nsga_device import run_unsga3_device
 
-            device_step = make_device_ga_step(objective, xl, xu, pop,
-                                              mesh=mesh)
-        res = run_unsga3(evaluate, xl, xu, pop_size=pop, n_gen=n_gen,
-                         seed=seed, callback=cb, logger=logger,
-                         verbose=logger is not None, x0=x0,
-                         ftol=ftol, ftol_period=ftol_period,
-                         n_max_evals=n_max_evals, device_step=device_step)
+            res = run_unsga3_device(
+                objective, xl, xu, pop_size=pop, n_gen=n_gen, seed=seed,
+                ftol=ftol, ftol_period=ftol_period, n_max_evals=n_max_evals,
+                x0=x0, gens_per_block=gens_per_dispatch, callback=cb,
+                logger=logger, mesh=mesh)
+        else:
+            if getattr(objective, "_is_population", False) \
+                    and device_variation:
+                from phoskintime_tpu.ops.nsga import make_device_ga_step
+
+                device_step = make_device_ga_step(objective, xl, xu, pop,
+                                                  mesh=mesh)
+            res = run_unsga3(evaluate, xl, xu, pop_size=pop, n_gen=n_gen,
+                             seed=seed, callback=cb, logger=logger,
+                             verbose=logger is not None, x0=x0,
+                             ftol=ftol, ftol_period=ftol_period,
+                             n_max_evals=n_max_evals,
+                             device_step=device_step)
 
     # ---- iterative refinement (bound zoom + warm start) -------------------
     if refine and num_refinements > 0:

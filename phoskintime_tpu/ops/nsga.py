@@ -877,57 +877,18 @@ def make_device_ga_step(pop_objective, xl, xu, pop_size: int, *,
     import jax
     import jax.numpy as jnp
 
+    from phoskintime_tpu.ops.nsga_device import variation_kernel
+
     f32 = jnp.float32
     xl0 = np.asarray(xl, np.float32)
     xu0 = np.asarray(xu, np.float32)
     n_var = int(xl0.shape[0])
 
     def step(X, rank, nd, key, xl_j, xu_j):
-        span = jnp.where(xu_j - xl_j > 0, xu_j - xl_j, 1.0)
-        ka, kb, kcx, ku, ksw, kmd, kmu, kr1, kr2 = jax.random.split(key, 9)
-
-        def tourney(k):
-            k1, k2 = jax.random.split(k)
-            a = jax.random.randint(k1, (pop_size,), 0, pop_size)
-            b = jax.random.randint(k2, (pop_size,), 0, pop_size)
-            return jnp.where(rank[a] < rank[b], a,
-                             jnp.where(rank[b] < rank[a], b,
-                                       jnp.where(nd[a] <= nd[b], a, b)))
-
-        Xa = X[tourney(ka)]
-        Xb = X[tourney(kb)]
-        # SBX (pymoo-compatible single fused power, as the host op)
-        do_cx = jax.random.uniform(kcx, (pop_size,)) <= sbx_prob
-        u = jax.random.uniform(ku, (pop_size, n_var), f32)
-        base = jnp.where(u <= 0.5, 2 * u,
-                         1.0 / jnp.maximum(2 * (1 - u), 1e-7))
-        beta = base ** f32(1.0 / (sbx_eta + 1.0))
-        swap = jax.random.uniform(ksw, (pop_size, n_var)) <= 0.5
-        c1 = 0.5 * ((1 + beta) * Xa + (1 - beta) * Xb)
-        c2 = 0.5 * ((1 - beta) * Xa + (1 + beta) * Xb)
-        off = jnp.where(swap, c2, c1)
-        off = jnp.where(do_cx[:, None], off, Xa)
-        off = jnp.clip(off, xl_j, xu_j)
-        # polynomial mutation, dense (the VPU eats the full-matrix powers
-        # the host's sparse path avoids)
-        do_m = jax.random.uniform(kmd, (pop_size, n_var)) <= (1.0 / n_var)
-        um = jax.random.uniform(kmu, (pop_size, n_var), f32)
-        d1 = (off - xl_j) / span
-        d2 = (xu_j - off) / span
-        mp = f32(1.0 / (pm_eta + 1.0))
-        val_lo = 2 * um + (1 - 2 * um) * (1 - d1) ** (pm_eta + 1)
-        val_hi = 2 * (1 - um) + 2 * (um - 0.5) * (1 - d2) ** (pm_eta + 1)
-        delta = jnp.where(um <= 0.5, val_lo ** mp - 1.0,
-                          1.0 - val_hi ** mp)
-        off = jnp.where(do_m, off + delta * span, off)
-        off = jnp.clip(off, xl_j, xu_j)
-        # clone repair (in-kernel duplicate elimination)
-        clone = jnp.all(off == Xa, axis=1)
-        j = jax.random.randint(kr1, (pop_size,), 0, n_var)
-        newv = xl_j[j] + jax.random.uniform(kr2, (pop_size,), f32) \
-            * (xu_j[j] - xl_j[j])
-        hit = clone[:, None] & (jnp.arange(n_var)[None, :] == j[:, None])
-        off = jnp.where(hit, newv[:, None], off)
+        off = variation_kernel(X, rank, nd, key, xl_j, xu_j,
+                               pop_size=pop_size, n_var=n_var,
+                               sbx_prob=sbx_prob, sbx_eta=sbx_eta,
+                               pm_eta=pm_eta)
         return off, pop_objective(off)
 
     if mesh is not None:

@@ -1,0 +1,368 @@
+"""Fully on-device U-NSGA-III: variation, evaluation AND survival in XLA.
+
+The host-side GA (:mod:`phoskintime_tpu.ops.nsga`) dispatches one device
+program per generation and keeps environmental selection on the host —
+cheap in absolute terms (~5-10 ms/gen with the native C++ sort) but it
+serializes a host round-trip per generation: at the north-star shape the
+device computes for ~24 ms and then idles through ~25 ms of dispatch
+latency plus the host bookkeeping (RESULTS_r2.md decomposition).
+
+This module closes that gap the TPU-native way: the WHOLE generation —
+tournament, SBX, polynomial mutation, clone repair, population
+evaluation, non-dominated ranking, NSGA-III normalization/association
+and niching survival — is one jitted program, and `lax.scan` runs
+``gens_per_block`` generations per dispatch. Population state (X, F,
+rank, niche, nd) never leaves the device between dispatches; the host
+sees only the tiny per-generation ideal/mean history, so dispatch
+latency and host time amortize by the block length. Under a
+``jax.sharding.Mesh`` the population axis stays sharded through variation
+and evaluation; the (2P, 2P) dominance matrix and niching run replicated
+(P is a few hundred; the objective dominates).
+
+Reference anchor: pymoo UNSGA3 semantics as configured by
+``global_model/runner.py:663-702`` (same operator distributions and
+survival rules as the host path; jax RNG stream instead of numpy, so
+draws differ but distributions match — see tests/test_nsga_device.py
+for the machinery-equality and convergence evidence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from phoskintime_tpu.ops.nsga import MOOResult, das_dennis, \
+    fast_non_dominated_sort, lhs_sampling
+
+
+# ---------------------------------------------------------------------------
+# variation (shared with make_device_ga_step)
+# ---------------------------------------------------------------------------
+
+def variation_kernel(X, rank, nd, key, xl_j, xu_j, *, pop_size: int,
+                     n_var: int, sbx_prob=0.9, sbx_eta=15.0, pm_eta=10.0):
+    """One U-NSGA-III variation pass as pure jnp: binary tournament
+    (rank, tie-broken by ref-line distance), SBX, polynomial mutation,
+    bound clip and clone repair. Returns (pop_size, n_var) offspring.
+
+    Operator forms mirror the host ops (:func:`nsga.sbx_crossover`,
+    :func:`nsga.polynomial_mutation`) — same distributions, jax draws."""
+    import jax
+    import jax.numpy as jnp
+
+    f32 = X.dtype
+    ka, kb, kcx, ku, ksw, kmd, kmu, kr1, kr2 = jax.random.split(key, 9)
+    span = jnp.where(xu_j - xl_j > 0, xu_j - xl_j, 1.0)
+
+    def tourney(k):
+        k1, k2 = jax.random.split(k)
+        a = jax.random.randint(k1, (pop_size,), 0, pop_size)
+        b = jax.random.randint(k2, (pop_size,), 0, pop_size)
+        return jnp.where(rank[a] < rank[b], a,
+                         jnp.where(rank[b] < rank[a], b,
+                                   jnp.where(nd[a] <= nd[b], a, b)))
+
+    Xa = X[tourney(ka)]
+    Xb = X[tourney(kb)]
+    # SBX (pymoo-compatible single fused power, as the host op)
+    do_cx = jax.random.uniform(kcx, (pop_size,)) <= sbx_prob
+    u = jax.random.uniform(ku, (pop_size, n_var), f32)
+    base = jnp.where(u <= 0.5, 2 * u, 1.0 / jnp.maximum(2 * (1 - u), 1e-7))
+    beta = base ** jnp.asarray(1.0 / (sbx_eta + 1.0), f32)
+    swap = jax.random.uniform(ksw, (pop_size, n_var)) <= 0.5
+    c1 = 0.5 * ((1 + beta) * Xa + (1 - beta) * Xb)
+    c2 = 0.5 * ((1 - beta) * Xa + (1 + beta) * Xb)
+    off = jnp.where(swap, c2, c1)
+    off = jnp.where(do_cx[:, None], off, Xa)
+    off = jnp.clip(off, xl_j, xu_j)
+    # polynomial mutation, dense (the VPU eats the full-matrix powers)
+    do_m = jax.random.uniform(kmd, (pop_size, n_var)) <= (1.0 / n_var)
+    um = jax.random.uniform(kmu, (pop_size, n_var), f32)
+    d1 = (off - xl_j) / span
+    d2 = (xu_j - off) / span
+    mp = jnp.asarray(1.0 / (pm_eta + 1.0), f32)
+    val_lo = 2 * um + (1 - 2 * um) * (1 - d1) ** (pm_eta + 1)
+    val_hi = 2 * (1 - um) + 2 * (um - 0.5) * (1 - d2) ** (pm_eta + 1)
+    delta = jnp.where(um <= 0.5, val_lo ** mp - 1.0, 1.0 - val_hi ** mp)
+    off = jnp.where(do_m, off + delta * span, off)
+    off = jnp.clip(off, xl_j, xu_j)
+    # clone repair (in-kernel duplicate elimination): an offspring that
+    # left the pipeline identical to its first parent gets one uniformly
+    # resampled coordinate
+    clone = jnp.all(off == Xa, axis=1)
+    j = jax.random.randint(kr1, (pop_size,), 0, n_var)
+    newv = xl_j[j] + jax.random.uniform(kr2, (pop_size,), f32) \
+        * (xu_j[j] - xl_j[j])
+    hit = clone[:, None] & (jnp.arange(n_var)[None, :] == j[:, None])
+    return jnp.where(hit, newv[:, None], off)
+
+
+# ---------------------------------------------------------------------------
+# on-device environmental selection
+# ---------------------------------------------------------------------------
+
+def device_nd_ranks(F):
+    """Non-dominated front index per row, on device.
+
+    Uses the longest-dominator-chain identity: front(j) = max over
+    dominators i of front(i)+1 (0 if none) — a max-plus fixpoint that
+    converges in #fronts iterations of one masked (Q, Q) reduction,
+    instead of the host's sequential front peeling."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    le = jnp.all(F[:, None, :] <= F[None, :, :], axis=-1)
+    lt = jnp.any(F[:, None, :] < F[None, :, :], axis=-1)
+    dom = le & lt                                  # dom[i, j]: i dominates j
+
+    def cond(st):
+        return st[1]
+
+    def body(st):
+        r, _ = st
+        nr = jnp.max(jnp.where(dom, r[:, None] + 1, 0), axis=0)
+        return nr, jnp.any(nr != r)
+
+    r0 = jnp.zeros(F.shape[0], jnp.int32)
+    r, _ = lax.while_loop(cond, body, (r0, jnp.asarray(True)))
+    return r
+
+
+def _device_normalize(F):
+    """NSGA-III ideal/intercept normalization (host semantics of
+    :func:`nsga._hyperplane_intercepts`, branch-free)."""
+    import jax.numpy as jnp
+
+    m = F.shape[1]
+    ideal = jnp.min(F, axis=0)
+    Fs = F - ideal
+    W = jnp.where(jnp.eye(m, dtype=bool), 1.0, 1e-6)       # (m, m) ASF axes
+    asf = jnp.max(Fs[None, :, :] / W[:, None, :], axis=-1)  # (m, Q)
+    E = Fs[jnp.argmin(asf, axis=1)]                         # (m, m) extremes
+    plane = jnp.linalg.solve(E, jnp.ones(m, F.dtype))
+    icpt = jnp.where(plane != 0, 1.0 / jnp.where(plane != 0, plane, 1.0),
+                     jnp.inf)
+    fallback = jnp.max(Fs, axis=0)
+    bad = jnp.any(icpt < 1e-10) | ~jnp.all(jnp.isfinite(icpt))
+    icpt = jnp.where(bad, fallback, icpt)
+    icpt = jnp.where(icpt > 1e-10, icpt, fallback + 1e-10)
+    return Fs / icpt
+
+
+def _device_associate(Fn, unit_refs):
+    """Closest reference line (perpendicular distance) per row."""
+    import jax.numpy as jnp
+
+    proj = Fn @ unit_refs.T                                # (Q, R)
+    d2 = jnp.sum(Fn ** 2, axis=1)[:, None] - proj ** 2
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    niche = jnp.argmin(dist, axis=1)
+    return niche, jnp.take_along_axis(dist, niche[:, None], axis=1)[:, 0]
+
+
+def device_survival(X_all, F_all, n_survive: int, unit_refs, key):
+    """NSGA-III environmental selection, fully on device.
+
+    Exact sequential niche-filling (pymoo semantics: min-count niche
+    pool; min-perpendicular-distance pick for empty niches, uniform
+    random otherwise) as a `lax.fori_loop` — ``n_survive`` iterations of
+    O(Q) masked reductions, gated by how many slots the splitting front
+    actually owes. Returns (X, F, rank, niche, nd) of the survivors,
+    ordered by front."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    Q = F_all.shape[0]
+    R = unit_refs.shape[0]
+    rank = device_nd_ranks(F_all)
+    Fn = _device_normalize(F_all)
+    niche, nd = _device_associate(Fn, unit_refs)
+
+    # splitting front L: first rank whose cumulative count reaches the cap
+    cnt = jnp.bincount(rank, length=Q)
+    cum = jnp.cumsum(cnt)
+    L = jnp.argmax(cum >= n_survive)
+    n_before = jnp.where(L > 0, cum[jnp.maximum(L - 1, 0)], 0)
+    need = n_survive - n_before
+    keep = rank < L
+    cand = rank == L
+
+    counts = jnp.bincount(jnp.where(keep, niche, R), length=R + 1)[:R]
+    BIG = jnp.asarray(4 * Q, counts.dtype)
+
+    def body(i, st):
+        counts, selected, key = st
+        key, kq = jax.random.split(key)
+        active = i < need
+        alive = cand & ~selected
+        cc = jnp.where(alive, counts[niche], BIG)
+        mc = jnp.min(cc)
+        pool = cc == mc
+        pick_nd = jnp.argmin(jnp.where(pool, nd, jnp.inf))
+        u = jax.random.uniform(kq, (Q,))
+        pick_rand = jnp.argmax(jnp.where(pool, u, -1.0))
+        pick = jnp.where(mc == 0, pick_nd, pick_rand)
+        selected = selected.at[pick].set(
+            jnp.where(active, True, selected[pick]))
+        counts = counts.at[niche[pick]].add(
+            jnp.where(active, 1, 0).astype(counts.dtype))
+        return counts, selected, key
+
+    selected = jnp.zeros(Q, bool)
+    _, selected, _ = lax.fori_loop(0, n_survive, body,
+                                   (counts, selected, key))
+    keep_all = keep | selected
+    order = jnp.argsort(jnp.where(keep_all, rank, Q + 1), stable=True)
+    idx = order[:n_survive]
+    return X_all[idx], F_all[idx], rank[idx], niche[idx], nd[idx]
+
+
+# ---------------------------------------------------------------------------
+# the block loop
+# ---------------------------------------------------------------------------
+
+def make_device_ga_blocks(pop_objective, xl, xu, pop_size: int, *,
+                          n_obj: int = 3, n_partitions: int = 20,
+                          sbx_prob=0.9, sbx_eta=15.0, pm_eta=10.0,
+                          gens_per_block: int = 10, mesh=None):
+    """Build (init_fn, block_fn) for the all-device GA.
+
+    init_fn(X0_numpy) -> carry: evaluates the initial population and
+    computes its (rank, niche, nd) on device.
+    block_fn(carry, seed) -> (carry, ideals, means): `lax.scan` over
+    ``gens_per_block`` full generations; ideals/means are the
+    (gens_per_block, n_obj) per-generation history (the only data that
+    crosses back to the host).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from phoskintime_tpu.config.numerics import working_dtype
+
+    # f32 GA state in production; explicit-f64 runs (PHOSKINTIME_DTYPE /
+    # x64 parity mode) keep f64 so precision comparisons stay clean
+    f32 = jnp.float64 if working_dtype() == np.float64 else jnp.float32
+    xl_j = jnp.asarray(np.asarray(xl), f32)
+    xu_j = jnp.asarray(np.asarray(xu), f32)
+    n_var = int(xl_j.shape[0])
+    refs = das_dennis(n_obj, n_partitions)
+    unit = jnp.asarray(refs / np.linalg.norm(refs, axis=1, keepdims=True),
+                       f32)
+
+    def gen_step(carry, key):
+        X, F, rank, niche, nd = carry
+        kv, ks = jax.random.split(key)
+        off = variation_kernel(X, rank, nd, kv, xl_j, xu_j,
+                               pop_size=pop_size, n_var=n_var,
+                               sbx_prob=sbx_prob, sbx_eta=sbx_eta,
+                               pm_eta=pm_eta)
+        F_off = pop_objective(off)
+        X2 = jnp.concatenate([X, off])
+        F2 = jnp.concatenate([F, F_off])
+        X, F, rank, niche, nd = device_survival(X2, F2, pop_size, unit, ks)
+        return (X, F, rank, niche, nd), (jnp.min(F, axis=0),
+                                         jnp.mean(F, axis=0))
+
+    def block(X, F, rank, niche, nd, key):
+        keys = jax.random.split(key, gens_per_block)
+        carry, (ideals, means) = lax.scan(gen_step, (X, F, rank, niche, nd),
+                                          keys)
+        return (*carry, ideals, means)
+
+    def init(X0):
+        X0 = jnp.asarray(X0, f32)
+        F0 = pop_objective(X0)
+        # survival over the initial pop itself (keeps everything) computes
+        # rank/niche/nd in one pass with the same machinery
+        key = jax.random.PRNGKey(0)
+        return device_survival(X0, F0, pop_size, unit, key)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        row = NamedSharding(mesh, P("pop"))
+        mat = NamedSharding(mesh, P("pop", None))
+        rep = NamedSharding(mesh, P())
+        carry_shard = (mat, mat, row, row, row)
+        block_jit = jax.jit(block,
+                            in_shardings=(*carry_shard, rep),
+                            out_shardings=(*carry_shard, rep, rep))
+        init_jit = jax.jit(init, out_shardings=carry_shard)
+    else:
+        block_jit = jax.jit(block)
+        init_jit = jax.jit(init)
+
+    return init_jit, block_jit
+
+
+def run_unsga3_device(pop_objective, xl, xu, *, pop_size: int = 300,
+                      n_gen: int = 100, n_obj: int = 3,
+                      n_partitions: int = 20, seed: int = 42,
+                      sbx_prob=0.9, sbx_eta=15.0, pm_eta=10.0,
+                      ftol: float = 0.0025, ftol_period: int = 30,
+                      n_max_evals: int | None = 100_000,
+                      x0: np.ndarray | None = None,
+                      gens_per_block: int = 10,
+                      callback=None, logger=None, mesh=None) -> MOOResult:
+    """U-NSGA-III with the ENTIRE generation loop on device.
+
+    Drop-in for :func:`nsga.run_unsga3` on population-native objectives:
+    same operator/survival semantics, jax RNG stream, and the host only
+    touches the per-generation ideal/mean history between blocks of
+    ``gens_per_block`` generations (ftol window, n_max_evals cap and the
+    checkpoint/pruning callback run at block granularity — the callback
+    sees the device-resident population only when it fires).
+    """
+    import jax
+
+    rng = np.random.default_rng(seed)
+    xl = np.asarray(xl, float)
+    xu = np.asarray(xu, float)
+    X0 = lhs_sampling(pop_size, xl, xu, rng) if x0 is None else np.array(x0)
+    if x0 is not None and len(X0) < pop_size:
+        X0 = np.vstack([X0, lhs_sampling(pop_size - len(X0), xl, xu, rng)])
+
+    init_fn, block_fn = make_device_ga_blocks(
+        pop_objective, xl, xu, pop_size, n_obj=n_obj,
+        n_partitions=n_partitions, sbx_prob=sbx_prob, sbx_eta=sbx_eta,
+        pm_eta=pm_eta, gens_per_block=gens_per_block, mesh=mesh)
+
+    X, F, rank, niche, nd = init_fn(X0)
+    n_evals = pop_size
+    history: list = []
+    ideal_history = [np.asarray(F.min(axis=0), float)]
+    gen = 0
+    stop = False
+    while gen < n_gen and not stop:
+        key = jax.random.PRNGKey(int(rng.integers(2 ** 31 - 1)))
+        X, F, rank, niche, nd, ideals, means = block_fn(
+            X, F, rank, niche, nd, key)
+        ideals = np.asarray(ideals, float)
+        means = np.asarray(means, float)
+        for g in range(gens_per_block):
+            gen += 1
+            n_evals += pop_size
+            history.append((gen, ideals[g].copy(), means[g].copy()))
+            ideal_history.append(ideals[g])
+        if callback is not None and callback(gen, np.asarray(X, float),
+                                             np.asarray(F, float)):
+            stop = True
+        if logger is not None:
+            logger.info(f"[UNSGA3/device] gen {gen}: ideal={ideals[-1]}")
+        # same sliding-window termination as the host loop, checked on the
+        # exact per-generation ideal history (block granularity only
+        # bounds HOW LATE we can stop, not the window arithmetic)
+        if len(ideal_history) > ftol_period:
+            prev = ideal_history[-ftol_period - 1]
+            cur = ideal_history[-1]
+            denom = np.maximum(np.abs(prev), 1e-12)
+            if np.max(np.abs(cur - prev) / denom) < ftol:
+                stop = True
+        if n_max_evals is not None and n_evals >= n_max_evals:
+            stop = True
+
+    X = np.asarray(X, float)
+    F = np.asarray(F, float)
+    pf = fast_non_dominated_sort(F)[0]
+    return MOOResult(X, F, X[pf], F[pf], history, gen, n_evals)
