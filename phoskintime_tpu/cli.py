@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--polish-steps", type=int, default=None,
                    help="exact-gradient Adam polish steps applied to the "
                         "Pareto set after the search (0 = off)")
+    p.add_argument("--gens-per-dispatch", type=int, default=None,
+                   help="GA generations fused into one device program "
+                        "(>1 = all-device loop: variation, evaluation and "
+                        "NSGA-III survival on device; amortizes dispatch)")
     p.add_argument("--scan", action="store_true",
                    help="hyperparameter scan (TPE outer loop with median "
                         "pruning) to pick the loss lambdas before the fit "
@@ -277,6 +281,8 @@ def cmd_global_model(args):
         overrides["refine"] = True
     if getattr(args, "polish_steps", None) is not None:
         overrides["polish_steps"] = args.polish_steps
+    if getattr(args, "gens_per_dispatch", None) is not None:
+        overrides["gens_per_dispatch"] = args.gens_per_dispatch
     if getattr(args, "scan", False):
         overrides["hyperparam_scan"] = True
     if overrides:

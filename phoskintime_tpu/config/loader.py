@@ -88,6 +88,7 @@ class PhosKinConfig:
     num_refinements: int = 0
     polish_steps: int = 0             # exact-gradient Adam polish of the Pareto set
     polish_lr: float = 0.02
+    gens_per_dispatch: int = 1        # >1: all-device GA loop (nsga_device)
     loss: int = 0
     # loss weights
     lambda_prior: float = 0.1

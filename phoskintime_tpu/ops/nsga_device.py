@@ -190,10 +190,12 @@ def device_survival(X_all, F_all, n_survive: int, unit_refs, key):
     counts = jnp.bincount(jnp.where(keep, niche, R), length=R + 1)[:R]
     BIG = jnp.asarray(4 * Q, counts.dtype)
 
-    def body(i, st):
-        counts, selected, key = st
+    def cond(st):
+        return st[0] < need
+
+    def body(st):
+        i, counts, selected, key = st
         key, kq = jax.random.split(key)
-        active = i < need
         alive = cand & ~selected
         cc = jnp.where(alive, counts[niche], BIG)
         mc = jnp.min(cc)
@@ -202,15 +204,13 @@ def device_survival(X_all, F_all, n_survive: int, unit_refs, key):
         u = jax.random.uniform(kq, (Q,))
         pick_rand = jnp.argmax(jnp.where(pool, u, -1.0))
         pick = jnp.where(mc == 0, pick_nd, pick_rand)
-        selected = selected.at[pick].set(
-            jnp.where(active, True, selected[pick]))
-        counts = counts.at[niche[pick]].add(
-            jnp.where(active, 1, 0).astype(counts.dtype))
-        return counts, selected, key
+        selected = selected.at[pick].set(True)
+        counts = counts.at[niche[pick]].add(1)
+        return i + 1, counts, selected, key
 
     selected = jnp.zeros(Q, bool)
-    _, selected, _ = lax.fori_loop(0, n_survive, body,
-                                   (counts, selected, key))
+    _, _, selected, _ = lax.while_loop(
+        cond, body, (jnp.asarray(0, need.dtype), counts, selected, key))
     keep_all = keep | selected
     order = jnp.argsort(jnp.where(keep_all, rank, Q + 1), stable=True)
     idx = order[:n_survive]
@@ -281,6 +281,14 @@ def make_device_ga_blocks(pop_objective, xl, xu, pop_size: int, *,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if pop_size % n_dev:
+            raise ValueError(
+                f"all-device GA loop: pop_size ({pop_size}) must be a "
+                f"multiple of the mesh size ({n_dev}) — the population "
+                f"stays sharded across generations, so transparent "
+                f"padding would inject clone lanes into survival; use "
+                f"pop_size={-(-pop_size // n_dev) * n_dev}")
         row = NamedSharding(mesh, P("pop"))
         mat = NamedSharding(mesh, P("pop", None))
         rep = NamedSharding(mesh, P())

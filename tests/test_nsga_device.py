@@ -221,6 +221,16 @@ class TestGlobalFitWiring:
 
 
 class TestDeviceLoopMesh:
+    def test_uneven_pop_rejected(self):
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("pop",))
+        with pytest.raises(ValueError, match="multiple of the mesh"):
+            run_unsga3_device(_dtlz2, np.zeros(6), np.ones(6), pop_size=30,
+                              n_gen=2, gens_per_block=2, mesh=mesh)
+
     def test_runs_sharded(self):
         from jax.sharding import Mesh
 
