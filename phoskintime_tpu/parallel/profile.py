@@ -19,10 +19,17 @@ def jnp_zero():
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
-    """Persistent XLA compile cache (amortizes the ~20-40 s first compile)."""
+    """Persistent XLA compile cache (amortizes the ~20-40 s first compile).
+
+    An explicit ``JAX_COMPILATION_CACHE_DIR`` env var wins over the
+    default location so callers (e.g. the test conftest) can isolate
+    runs: a process killed mid-write leaves a truncated cache entry, and
+    jax SEGFAULTS deserializing it — sharing one cache dir across
+    concurrently-killed processes is how that happens."""
     import jax
 
-    cache_dir = cache_dir or os.path.expanduser("~/.cache/phoskintime_tpu_xla")
+    cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.expanduser("~/.cache/phoskintime_tpu_xla"))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -9,10 +9,17 @@ initialization rather than via environment variables.
 """
 
 import os
+import tempfile
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# isolated per-run XLA compile cache: CLI paths enable the persistent
+# cache mid-suite, and a SHARED dir is a segfault hazard (a process
+# killed mid-write leaves a truncated entry that jax crashes reading)
+os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
+    prefix="phoskin_xla_cache_")
 
 import jax  # noqa: E402
 
