@@ -28,6 +28,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     concurrently-killed processes is how that happens."""
     import jax
 
+    if os.environ.get("PHOSKINTIME_DISABLE_COMPILE_CACHE"):
+        return ""  # test suite: serialized CPU executables have crashed
     cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.expanduser("~/.cache/phoskintime_tpu_xla"))
     os.makedirs(cache_dir, exist_ok=True)
