@@ -356,18 +356,20 @@ def northstar_fit(rng):
     from phoskintime_tpu.network.polish import (polish_solutions,
                                                 simplex_weights)
 
+    # step budget: the CPU-scale probe (N=40, pop 128) measured obs
+    # median 0.476 post-GA -> 0.213 @150 steps -> 0.051 @600 steps
     t0 = time.perf_counter()
     pX, pF = polish_solutions(b["system"], b["slices"], b["loss_data"],
                               b["defaults"], b["lambdas"], b["grid"],
                               res.pareto_X, b["xl"], b["xu"],
                               weights=simplex_weights(res.pareto_F),
-                              steps=150, chunk=128)
+                              steps=600, chunk=128)
     polish_wall = time.perf_counter() - t0
     pbest = pX[np.argmin(np.asarray(pF).sum(axis=1))]
     p_obs = _observable_recovery(b, pbest)
     p_rel = _recovery_errors(b, pbest)
     section("6_northstar_gradient_polish", polish_wall,
-            "s wall-clock (150 Adam steps, exact grads, whole Pareto set)",
+            "s wall-clock (600 Adam steps, exact grads, whole Pareto set)",
             {"ideal": [round(float(v), 6)
                        for v in np.asarray(pF).min(axis=0)],
              "observable_median_rel_err": round(float(np.median(p_obs)), 4),

@@ -155,7 +155,7 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
         Xg, Fg = gradient_multistart(
             system, slices, loss_data, defaults, lambdas, time_grid, xl, xu,
             pop=pop, steps=max(100, polish_steps or 300), lr=polish_lr,
-            loss_mode=loss_mode, y0=y0, seed=seed)
+            loss_mode=loss_mode, y0=y0, seed=seed, mesh=mesh)
         pf = fast_non_dominated_sort(Fg)[0]
         res = MOOResult(Xg, Fg, Xg[pf], Fg[pf], [],
                         0, pop * 3 * max(100, polish_steps or 300))
@@ -243,7 +243,8 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
         pX, pF = polish_solutions(system, slices, loss_data, defaults,
                                   lambdas, time_grid, res.pareto_X, xl, xu,
                                   weights=W, steps=polish_steps,
-                                  lr=polish_lr, loss_mode=loss_mode, y0=y0)
+                                  lr=polish_lr, loss_mode=loss_mode, y0=y0,
+                                  mesh=mesh)
         if logger is not None:
             logger.info(f"[Polish] ideal {res.pareto_F.min(axis=0)} -> "
                         f"{pF.min(axis=0)} ({polish_steps} Adam steps)")

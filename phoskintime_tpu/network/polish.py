@@ -50,7 +50,8 @@ def polish_solutions(system, slices, loss_data, defaults, lambdas, time_grid,
                      thetas, xl, xu, *, weights=None, steps: int = 150,
                      lr: float = 0.02, loss_mode: int = 0, y0=None,
                      chunk: int = 128, seed: int = 0,
-                     adam_b1: float = 0.9, adam_b2: float = 0.999):
+                     adam_b1: float = 0.9, adam_b2: float = 0.999,
+                     mesh=None):
     """Polish a set of raw-space solutions with bounded Adam.
 
     Args:
@@ -59,7 +60,11 @@ def polish_solutions(system, slices, loss_data, defaults, lambdas, time_grid,
         best-by-sum criterion the selection/exports use).
       steps: Adam steps; lr decays cosine to 10%.
       chunk: members per compiled program (bounds the reverse-sweep
-        memory; chunks share one compilation).
+        memory; chunks share one compilation). Must be a multiple of
+        the mesh size when ``mesh`` is given.
+      mesh: optional ``jax.sharding.Mesh`` with a "pop" axis — shards
+        the member axis of each chunk across devices (the polish is
+        embarrassingly parallel over members, like the GA population).
 
     Returns (thetas_polished (P, n), F_polished (P, 3)) — each member's
     best-scoring iterate (never worse than its input under its own
@@ -118,14 +123,29 @@ def polish_solutions(system, slices, loss_data, defaults, lambdas, time_grid,
         bestS = jnp.where(better, sF, bestS)
         return bestX, bestS
 
-    polish_jit = jax.jit(polish_chunk)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if chunk % n_dev:
+            raise ValueError(
+                f"polish: chunk ({chunk}) must be a multiple of the mesh "
+                f"size ({n_dev})")
+        if P < chunk:  # single padded chunk: only pad to mesh multiple
+            chunk = -(-P // n_dev) * n_dev
+        mat = NamedSharding(mesh, Pspec("pop", None))
+        row = NamedSharding(mesh, Pspec("pop"))
+        polish_jit = jax.jit(polish_chunk, in_shardings=(mat, mat),
+                             out_shardings=(mat, row))
+    else:
+        polish_jit = jax.jit(polish_chunk)
 
     out_X = np.empty_like(thetas, dtype=np.float32)
     for c0 in range(0, P, chunk):
         c1 = min(P, c0 + chunk)
         Xc = thetas[c0:c1].astype(np.float32)
         Wc = weights[c0:c1].astype(np.float32)
-        if c1 - c0 < chunk and P > chunk:
+        if c1 - c0 < chunk and (P > chunk or mesh is not None):
             # pad to the compiled chunk shape (repeat last row)
             padn = chunk - (c1 - c0)
             Xc = np.vstack([Xc, np.repeat(Xc[-1:], padn, axis=0)])
@@ -146,7 +166,7 @@ def gradient_multistart(system, slices, loss_data, defaults, lambdas,
                         time_grid, xl, xu, *, pop: int = 256,
                         steps: int = 300, lr: float = 0.03,
                         loss_mode: int = 0, y0=None, seed: int = 42,
-                        chunk: int = 128):
+                        chunk: int = 128, mesh=None):
     """Pure gradient-based multistart global fit (no evolutionary search).
 
     LHS-samples ``pop`` raw starts, assigns each a Das-Dennis simplex
@@ -167,4 +187,4 @@ def gradient_multistart(system, slices, loss_data, defaults, lambdas,
     return polish_solutions(system, slices, loss_data, defaults, lambdas,
                             time_grid, X0, xl, xu, weights=W, steps=steps,
                             lr=lr, loss_mode=loss_mode, y0=y0, chunk=chunk,
-                            seed=seed)
+                            seed=seed, mesh=mesh)

@@ -12,6 +12,7 @@ softplus-unpack -> ETD2RK -> loss pipeline.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_optimize import GRID, RNA_GRID, tiny_problem
 
@@ -235,3 +236,41 @@ class TestDeviceVariation:
         h_best = res_h.pareto_F.sum(axis=1).min()
         assert d_best < 10 * h_best + 1.0
         assert res_d.n_evals == res_h.n_evals
+
+
+class TestShardedPolish:
+    def test_polish_under_mesh_matches_unsharded(self):
+        """Sharding the member axis must not change the polish math: the
+        same inputs produce the same polished set (the per-member descent
+        is independent; only array placement differs)."""
+        import jax
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        rng = np.random.default_rng(3)
+        X0 = rng.uniform(xl, xu, (5, len(xl)))  # uneven: pads to 8
+        W = simplex_weights(rng.random((5, 3)) + 0.5)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("pop",))
+        pX_m, pF_m = polish_solutions(sys, slices, ld, defaults, LAMBDAS,
+                                      grid, X0, xl, xu, weights=W, steps=6,
+                                      chunk=8, mesh=mesh)
+        pX_u, pF_u = polish_solutions(sys, slices, ld, defaults, LAMBDAS,
+                                      grid, X0, xl, xu, weights=W, steps=6,
+                                      chunk=8)
+        np.testing.assert_allclose(pX_m, pX_u, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(pF_m, pF_u, rtol=1e-4, atol=1e-6)
+
+    def test_polish_chunk_not_mesh_multiple_rejected(self):
+        import jax
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("pop",))
+        with pytest.raises(ValueError, match="multiple of the mesh"):
+            polish_solutions(sys, slices, ld, defaults, LAMBDAS, grid,
+                             np.tile(theta0, (12, 1)), xl, xu, steps=2,
+                             chunk=6, mesh=mesh)
