@@ -148,6 +148,7 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
         return False
 
     device_step = None
+    ga_prebuilt = None
     if optimizer == "gradient":
         from phoskintime_tpu.ops.nsga import fast_non_dominated_sort
         from phoskintime_tpu.network.polish import gradient_multistart
@@ -187,13 +188,17 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
         # north-star shape vs 24 ms device compute (RESULTS_r2.md)
         if getattr(objective, "_is_population", False) \
                 and gens_per_dispatch > 1:
-            from phoskintime_tpu.ops.nsga_device import run_unsga3_device
+            from phoskintime_tpu.ops.nsga_device import (
+                make_device_ga_blocks, run_unsga3_device)
 
+            ga_prebuilt = make_device_ga_blocks(
+                objective, len(np.asarray(xl)), pop,
+                gens_per_block=gens_per_dispatch, mesh=mesh)
             res = run_unsga3_device(
                 objective, xl, xu, pop_size=pop, n_gen=n_gen, seed=seed,
                 ftol=ftol, ftol_period=ftol_period, n_max_evals=n_max_evals,
                 x0=x0, gens_per_block=gens_per_dispatch, callback=cb,
-                logger=logger, mesh=mesh)
+                logger=logger, mesh=mesh, prebuilt=ga_prebuilt)
         else:
             if getattr(objective, "_is_population", False) \
                     and device_variation:
@@ -219,10 +224,22 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                                                 padding=refine_padding)
             x0 = create_multistart_population(cur.pareto_X, pop, new_xl,
                                               new_xu, rng)
-            nxt = run_unsga3(evaluate, new_xl, new_xu, pop_size=pop,
-                             n_gen=max(10, n_gen // 4), seed=seed + 2,
-                             x0=x0, ftol=ftol, ftol_period=ftol_period,
-                             device_step=device_step)
+            if ga_prebuilt is not None:
+                # bounds are traced in the device loop: the zoomed box
+                # reuses the compiled block program
+                from phoskintime_tpu.ops.nsga_device import run_unsga3_device
+
+                nxt = run_unsga3_device(
+                    objective, new_xl, new_xu, pop_size=pop,
+                    n_gen=max(10, n_gen // 4), seed=seed + 2, x0=x0,
+                    ftol=ftol, ftol_period=ftol_period,
+                    gens_per_block=gens_per_dispatch, mesh=mesh,
+                    prebuilt=ga_prebuilt)
+            else:
+                nxt = run_unsga3(evaluate, new_xl, new_xu, pop_size=pop,
+                                 n_gen=max(10, n_gen // 4), seed=seed + 2,
+                                 x0=x0, ftol=ftol, ftol_period=ftol_period,
+                                 device_step=device_step)
             total_evals += nxt.n_evals
             if nxt.pareto_F.min(axis=0).sum() >= cur.pareto_F.min(axis=0).sum():
                 break  # no improvement -> stop refining

