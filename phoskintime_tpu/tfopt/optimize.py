@@ -81,8 +81,13 @@ def run_local(prob: TfoptProblem, loss_type: int = 0, n_starts: int = 48,
 def run_evolutionary(prob: TfoptProblem, optimizer: int = 0,
                      loss_type: int = 0, pop_size: int | None = None,
                      n_gen: int = 200, seed: int = 42,
-                     lam1: float = 1e-3, lam2: float = 1e-3) -> TfoptResult:
-    """3-objective evolutionary fit; optimizer 0/1/2 per reference codes."""
+                     lam1: float = 1e-3, lam2: float = 1e-3,
+                     gens_per_dispatch: int = 1) -> TfoptResult:
+    """3-objective evolutionary fit; optimizer 0/1/2 per reference codes.
+
+    gens_per_dispatch > 1 (optimizer 0 only): the all-device GA loop —
+    at the reference's 1000-generation tfopt budget this cuts the
+    dispatch count by that factor (see ops/nsga_device.py)."""
     n = prob.n_alpha + prob.n_beta
     if pop_size is None:
         pop_size = min(2 * n, 400)
@@ -107,7 +112,14 @@ def run_evolutionary(prob: TfoptProblem, optimizer: int = 0,
         return jax.vmap(one)(A, B)
 
     evaluate = lambda X: np.asarray(eval_multi(jnp.asarray(X)))
-    if optimizer == 0:
+    if optimizer == 0 and gens_per_dispatch > 1:
+        from phoskintime_tpu.ops.nsga_device import run_unsga3_device
+
+        res = run_unsga3_device(eval_multi, xl, xu, pop_size=pop_size,
+                                n_gen=n_gen, n_obj=3, n_partitions=12,
+                                seed=seed, ftol=0.0, n_max_evals=None,
+                                gens_per_block=gens_per_dispatch)
+    elif optimizer == 0:
         res = run_unsga3(evaluate, xl, xu, pop_size=pop_size, n_gen=n_gen,
                          n_obj=3, n_partitions=12, seed=seed, ftol=0.0,
                          n_max_evals=None)

@@ -153,6 +153,17 @@ class TestTfopt:
         has_reg = prob.alpha_mask.sum(axis=1) > 0
         assert av[has_reg].max() < 0.2  # evol path approaches feasibility
 
+    def test_evolutionary_device_loop(self):
+        """gens_per_dispatch>1 routes through the all-device GA loop
+        with the same objective and comparable quality."""
+        prob, *_ = tf_problem()
+        res = tf_evol(prob, optimizer=0, n_gen=60, pop_size=60, seed=1,
+                      gens_per_dispatch=10)
+        assert np.isfinite(res.loss)
+        av = np.abs((res.alpha * prob.alpha_mask).sum(axis=1) - 1.0)
+        has_reg = prob.alpha_mask.sum(axis=1) > 0
+        assert av[has_reg].max() < 0.2
+
     @pytest.mark.parametrize("optimizer", [1, 2])
     def test_smsemoa_agemoea_codes(self, optimizer):
         """Reference optimizer codes 1 (SMS-EMOA) / 2 (AGE-MOEA) run their
