@@ -92,8 +92,14 @@ def run_local(prob: KinoptProblem, loss_type: str = "base",
 def run_evolutionary(prob: KinoptProblem, method: str = "NSGA-II",
                      loss_type: str = "base", include_reg: bool = False,
                      pop_size: int = 100, n_gen: int = 200,
-                     seed: int = 42) -> KinoptResult:
-    """DE (single-objective) or NSGA-II (loss, alpha-viol^2, beta-viol^2)."""
+                     seed: int = 42,
+                     gens_per_dispatch: int = 1) -> KinoptResult:
+    """DE (single-objective) or NSGA-II (loss, alpha-viol^2, beta-viol^2).
+
+    DE always runs entirely on device (reference budget: 10k gens).
+    gens_per_dispatch > 1 moves the NSGA-II loop on device too
+    (crowding survival + simplex-projection repair inside the program,
+    ``ops/nsga_device.py::run_nsga2_device``)."""
     n = prob.n_alpha + prob.n_beta
     xl = np.full(n, prob.lb)
     xu = np.full(n, prob.ub)
@@ -157,9 +163,17 @@ def run_evolutionary(prob: KinoptProblem, method: str = "NSGA-II",
                          enumerate(hist[:: max(1, len(hist) // 100)])],
                         n_gen, pop_size * (n_gen + 1))
     else:
-        res = run_nsga2(lambda X: np.asarray(eval_multi(jnp.asarray(X))),
-                        xl, xu, pop_size=pop_size, n_gen=n_gen, seed=seed,
-                        repair_fn=repair)
+        if gens_per_dispatch > 1:
+            from phoskintime_tpu.ops.nsga_device import run_nsga2_device
+
+            res = run_nsga2_device(eval_multi, xl, xu, pop_size=pop_size,
+                                   n_gen=n_gen, seed=seed,
+                                   repair_fn=repair_core,
+                                   gens_per_block=gens_per_dispatch)
+        else:
+            res = run_nsga2(lambda X: np.asarray(eval_multi(jnp.asarray(X))),
+                            xl, xu, pop_size=pop_size, n_gen=n_gen, seed=seed,
+                            repair_fn=repair)
         # pick min primary loss among near-feasible Pareto members
         pf = res.pareto_F
         feas = (pf[:, 1] + pf[:, 2]) <= np.quantile(pf[:, 1] + pf[:, 2], 0.25) + 1e-9

@@ -217,6 +217,158 @@ def device_survival(X_all, F_all, n_survive: int, unit_refs, key):
     return X_all[idx], F_all[idx], rank[idx], niche[idx], nd[idx]
 
 
+def device_crowding(F, rank):
+    """NSGA-II crowding distance on device, fronts defined by ``rank``.
+
+    Host semantics (:func:`nsga.crowding_distance` applied per front):
+    per objective, front members sorted by value; boundary members get
+    inf, interior members accumulate (next - prev) / (front max - min).
+    Vectorized over ALL fronts at once: one lexsort by (rank, f_j) per
+    objective + segment min/max for the front spans."""
+    import jax
+    import jax.numpy as jnp
+
+    Q, m = F.shape
+    crowd = jnp.zeros(Q, F.dtype)
+    for j in range(m):
+        fj = F[:, j]
+        order = jnp.lexsort((fj, rank))          # rank primary, f_j inside
+        r_s = rank[order]
+        f_s = fj[order]
+        fmin = jax.ops.segment_min(fj, rank, num_segments=Q)
+        fmax = jax.ops.segment_max(fj, rank, num_segments=Q)
+        span_s = (fmax - fmin)[r_s]
+        prev_same = jnp.concatenate([jnp.zeros(1, bool),
+                                     r_s[1:] == r_s[:-1]])
+        next_same = jnp.concatenate([r_s[:-1] == r_s[1:],
+                                     jnp.zeros(1, bool)])
+        interior = prev_same & next_same
+        gap = jnp.roll(f_s, -1) - jnp.roll(f_s, 1)
+        contrib = jnp.where(span_s > 0,
+                            gap / jnp.where(span_s > 0, span_s, 1.0), 0.0)
+        c_s = jnp.where(interior, contrib, jnp.inf)
+        crowd = crowd.at[order].add(c_s)         # inf-dominant accumulation
+    return crowd
+
+
+def device_nsga2_survival(X_all, F_all, n_survive: int):
+    """NSGA-II environmental selection on device: (rank asc, crowd desc).
+
+    Matches :func:`nsga.nsga2_survival` semantics; picks among
+    equal-(rank, crowd) members may differ by sort order."""
+    import jax.numpy as jnp
+
+    rank = device_nd_ranks(F_all)
+    crowd = device_crowding(F_all, rank)
+    order = jnp.lexsort((-crowd, rank))          # rank primary, crowd desc
+    idx = order[:n_survive]
+    return X_all[idx], F_all[idx], rank[idx], crowd[idx]
+
+
+def run_nsga2_device(pop_objective, xl, xu, *, pop_size: int = 100,
+                     n_gen: int = 100, seed: int = 42,
+                     sbx_prob=0.9, sbx_eta=15.0, pm_eta=20.0,
+                     constraint_fn=None, repair_fn=None,
+                     x0: np.ndarray | None = None,
+                     gens_per_block: int = 10,
+                     callback=None, mesh=None) -> MOOResult:
+    """NSGA-II with the entire generation loop on device.
+
+    Drop-in for :func:`nsga.run_nsga2` on population-native jax
+    objectives. ``repair_fn``/``constraint_fn`` must be jax-traceable
+    ((P, n) -> (P, n) / (P, n_con)); constraint violations are penalized
+    feasibility-first (1e6 x total violation), as on the host."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from phoskintime_tpu.config.numerics import working_dtype
+
+    f32 = jnp.float64 if working_dtype() == np.float64 else jnp.float32
+    rng = np.random.default_rng(seed)
+    xl = np.asarray(xl, float)
+    xu = np.asarray(xu, float)
+    n_var = len(xl)
+    bl = jnp.asarray(xl, f32)
+    bu = jnp.asarray(xu, f32)
+
+    def eval_all(Xb):
+        F = pop_objective(Xb)
+        if constraint_fn is not None:
+            G = constraint_fn(Xb)
+            F = F + 1e6 * jnp.sum(jnp.maximum(G, 0.0), axis=1)[:, None]
+        return F
+
+    def block(X, F, rank, crowd, key):
+        def gen_step(carry, key):
+            X, F, rank, crowd = carry
+            kv, _ = jax.random.split(key)
+            off = variation_kernel(X, rank, -crowd, kv, bl, bu,
+                                   pop_size=pop_size, n_var=n_var,
+                                   sbx_prob=sbx_prob, sbx_eta=sbx_eta,
+                                   pm_eta=pm_eta)
+            if repair_fn is not None:
+                off = repair_fn(off)
+            F_off = eval_all(off)
+            X2 = jnp.concatenate([X, off])
+            F2 = jnp.concatenate([F, F_off])
+            X, F, rank, crowd = device_nsga2_survival(X2, F2, pop_size)
+            return (X, F, rank, crowd), (jnp.min(F, axis=0),
+                                         jnp.mean(F, axis=0))
+
+        keys = jax.random.split(key, gens_per_block)
+        carry, (ideals, means) = lax.scan(gen_step, (X, F, rank, crowd),
+                                          keys)
+        return (*carry, ideals, means)
+
+    def init(X0):
+        X0 = jnp.asarray(X0, f32)
+        if repair_fn is not None:
+            X0 = repair_fn(X0)
+        return device_nsga2_survival(X0, eval_all(X0), pop_size)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if pop_size % n_dev:
+            raise ValueError(
+                f"device NSGA-II: pop_size ({pop_size}) must be a "
+                f"multiple of the mesh size ({n_dev})")
+        row = NamedSharding(mesh, P("pop"))
+        mat = NamedSharding(mesh, P("pop", None))
+        rep = NamedSharding(mesh, P())
+        carry_shard = (mat, mat, row, row)
+        block_jit = jax.jit(block, in_shardings=(*carry_shard, rep),
+                            out_shardings=(*carry_shard, rep, rep))
+        init_jit = jax.jit(init, out_shardings=carry_shard)
+    else:
+        block_jit = jax.jit(block)
+        init_jit = jax.jit(init)
+
+    X0 = lhs_sampling(pop_size, xl, xu, rng) if x0 is None else np.array(x0)
+    X, F, rank, crowd = init_jit(X0)
+    n_evals = pop_size
+    history: list = []
+    gen = 0
+    while gen < n_gen:
+        key = jax.random.PRNGKey(int(rng.integers(2 ** 31 - 1)))
+        X, F, rank, crowd, ideals, means = block_jit(X, F, rank, crowd, key)
+        ideals = np.asarray(ideals, float)
+        means = np.asarray(means, float)
+        for g in range(gens_per_block):
+            gen += 1
+            n_evals += pop_size
+            history.append((gen, ideals[g].copy(), means[g].copy()))
+        if callback is not None:
+            callback(gen, np.asarray(X, float), np.asarray(F, float))
+
+    X = np.asarray(X, float)
+    F = np.asarray(F, float)
+    pf = fast_non_dominated_sort(F)[0]
+    return MOOResult(X, F, X[pf], F[pf], history, gen, n_evals)
+
+
 # ---------------------------------------------------------------------------
 # the block loop
 # ---------------------------------------------------------------------------

@@ -80,6 +80,14 @@ class TestKinopt:
         assert res.loss < 1e-2
         assert res.feasible
 
+    def test_evolutionary_nsga2_device_loop(self):
+        """gens_per_dispatch>1: the whole NSGA-II loop (crowding survival
+        + simplex-projection repair) runs on device."""
+        prob, *_ = kin_problem()
+        res = kin_evol(prob, method="NSGA-II", n_gen=40, pop_size=48,
+                       seed=1, gens_per_dispatch=10)
+        assert np.isfinite(res.loss)
+
     def test_evolutionary_nsga2(self):
         prob, *_ = kin_problem()
         res = kin_evol(prob, method="NSGA-II", pop_size=60, n_gen=120, seed=2)

@@ -203,6 +203,64 @@ class TestDeviceLoop:
         assert res.X.shape == (16, n_var)
 
 
+class TestDeviceNSGA2:
+    def test_crowding_matches_host(self):
+        from phoskintime_tpu.ops.nsga import crowding_distance
+        from phoskintime_tpu.ops.nsga_device import device_crowding
+
+        rng = np.random.default_rng(5)
+        F = rng.random((60, 3))
+        host_rank = _host_ranks(F)
+        want = np.empty(len(F))
+        for r in np.unique(host_rank):
+            fr = np.where(host_rank == r)[0]
+            want[fr] = crowding_distance(F[fr])
+        got = np.asarray(device_crowding(jnp.asarray(F),
+                                         jnp.asarray(host_rank)))
+        finite = np.isfinite(want)
+        assert (np.isfinite(got) == finite).all()
+        np.testing.assert_allclose(got[finite], want[finite], rtol=1e-10)
+
+    def test_survival_matches_host(self):
+        from phoskintime_tpu.ops.nsga import nsga2_survival
+        from phoskintime_tpu.ops.nsga_device import device_nsga2_survival
+
+        rng = np.random.default_rng(6)
+        F = rng.random((48, 3))
+        X = rng.random((48, 4))
+        Xh, Fh = nsga2_survival(X, F, 20)
+        Xd, Fd, rank, crowd = device_nsga2_survival(
+            jnp.asarray(X), jnp.asarray(F), 20)
+        got = {tuple(r) for r in np.round(np.asarray(Fd), 12)}
+        want = {tuple(r) for r in np.round(Fh, 12)}
+        assert got == want
+
+    def test_loop_converges(self):
+        from phoskintime_tpu.ops.nsga_device import run_nsga2_device
+
+        n_var = 6
+        res = run_nsga2_device(_dtlz2, np.zeros(n_var), np.ones(n_var),
+                               pop_size=32, n_gen=30, seed=0,
+                               gens_per_block=10)
+        assert res.n_evals == 32 * 31
+        assert (res.pareto_F.min(axis=0) < 0.4).all()
+
+    def test_repair_applied(self):
+        """A jax repair projecting onto x0+x1=1 must hold for the whole
+        final population (applied to offspring inside the program)."""
+        from phoskintime_tpu.ops.nsga_device import run_nsga2_device
+
+        def repair(X):
+            s = X[:, :2].sum(axis=1, keepdims=True)
+            return jnp.concatenate([X[:, :2] / jnp.maximum(s, 1e-9),
+                                    X[:, 2:]], axis=1)
+
+        res = run_nsga2_device(_dtlz2, np.full(5, 1e-3), np.ones(5),
+                               pop_size=16, n_gen=6, seed=0,
+                               gens_per_block=3, repair_fn=repair)
+        np.testing.assert_allclose(res.X[:, :2].sum(axis=1), 1.0, rtol=1e-4)
+
+
 class TestGlobalFitWiring:
     def test_gens_per_dispatch(self):
         """run_global_fit(gens_per_dispatch>1) routes through the
