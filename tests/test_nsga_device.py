@@ -277,6 +277,32 @@ class TestGlobalFitWiring:
         assert res.n_evals == 16 * 7
         assert np.isfinite(res.pareto_F).all()
 
+    def test_checkpoint_resume_device_loop(self, tmp_path):
+        """Checkpointing fires at block granularity; a second run resumes
+        from the stored population."""
+        from phoskintime_tpu.demo import build_demo_network
+        from phoskintime_tpu.network.optimize import run_global_fit
+        from phoskintime_tpu.parallel.checkpoint import GACheckpointer
+
+        b = build_demo_network(n_proteins=6, n_kinases=3, seed=1,
+                               dtype=np.float32)
+        ck_path = str(tmp_path / "ga.ckpt")
+        run_global_fit(b["system"], b["slices"], b["loss_data"],
+                       b["defaults"], b["lambdas"], b["grid"],
+                       b["xl"], b["xu"], pop=16, n_gen=4, seed=0,
+                       frechet_pick=False, gens_per_dispatch=2,
+                       checkpoint_path=ck_path, checkpoint_every=1)
+        ck = GACheckpointer(ck_path, every=1)
+        x0 = ck.resume_x0()
+        assert x0 is not None and x0.shape == (16, len(b["xl"]))
+        assert ck.start_gen >= 2  # block-granular: multiples of 2
+        res2 = run_global_fit(b["system"], b["slices"], b["loss_data"],
+                              b["defaults"], b["lambdas"], b["grid"],
+                              b["xl"], b["xu"], pop=16, n_gen=2, seed=1,
+                              frechet_pick=False, gens_per_dispatch=2,
+                              checkpoint_path=ck_path)
+        assert np.isfinite(res2.pareto_F).all()
+
     def test_refinement_reuses_device_loop(self):
         """Refinement rounds run through the device loop with zoomed
         TRACED bounds (no recompile per round) and account evals."""
