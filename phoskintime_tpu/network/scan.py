@@ -189,7 +189,7 @@ def run_hyperparameter_scan(system, slices, loss_data, defaults, time_grid,
                             lambda_ranges=None, logger=None,
                             gen_step=5, n_startup_prune=3,
                             prune_factor=1.0, out_dir=None,
-                            checkpoint_path=None):
+                            checkpoint_path=None, solver="expo"):
     """Nested hyperparameter scan with real pruning and reporting.
 
     Returns (best_lambdas, trials) — ``trials`` is a list of
@@ -205,6 +205,13 @@ def run_hyperparameter_scan(system, slices, loss_data, defaults, time_grid,
     ``checkpoint_path`` enables pause/resume (reference SQLite storage):
     completed trials and the TPE sampler state persist after every trial.
     ``out_dir`` writes the results table + plots via :func:`scan_report`.
+
+    solver: "expo" (default) runs inner trials on the PRODUCTION
+    population objective through the all-device GA loop with
+    ``gen_step`` generations per dispatch — the lambdas are tuned with
+    the same numerics the final fit will use, and the pruning report
+    boundary coincides with the dispatch boundary. "rk45" keeps the
+    adaptive-RK45 host-evaluated path.
     """
     if lambda_ranges is None:
         lambda_ranges = {"protein": (0.1, 10.0), "rna": (0.1, 10.0),
@@ -230,9 +237,18 @@ def run_hyperparameter_scan(system, slices, loss_data, defaults, time_grid,
     for it in range(len(trials), n_outer):
         x = sampler.ask()
         lambdas = {k: float(10 ** v) for k, v in zip(keys, x)}
-        objective = make_objective(system, slices, loss_data, defaults,
-                                   lambdas, time_grid, loss_mode=loss_mode)
-        evaluate = make_batched_evaluate(objective, mesh=mesh)
+        if solver == "expo":
+            from phoskintime_tpu.network.objective import (
+                make_population_objective)
+
+            pop_objective = make_population_objective(
+                system, slices, loss_data, defaults, lambdas, time_grid,
+                loss_mode=loss_mode)
+        else:
+            objective = make_objective(system, slices, loss_data, defaults,
+                                       lambdas, time_grid,
+                                       loss_mode=loss_mode)
+            evaluate = make_batched_evaluate(objective, mesh=mesh)
 
         trial = ScanTrial(lambdas, np.inf, "complete")
 
@@ -250,9 +266,18 @@ def run_hyperparameter_scan(system, slices, loss_data, defaults, time_grid,
                 return True  # stop the inner GA now
             return False
 
-        res = run_unsga3(evaluate, xl, xu, pop_size=inner_pop,
-                         n_gen=inner_gens, seed=seed + it, ftol=0.0,
-                         n_max_evals=None, callback=cb)
+        if solver == "expo":
+            from phoskintime_tpu.ops.nsga_device import run_unsga3_device
+
+            res = run_unsga3_device(pop_objective, xl, xu,
+                                    pop_size=inner_pop, n_gen=inner_gens,
+                                    seed=seed + it, ftol=0.0,
+                                    n_max_evals=None, callback=cb,
+                                    gens_per_block=gen_step, mesh=mesh)
+        else:
+            res = run_unsga3(evaluate, xl, xu, pop_size=inner_pop,
+                             n_gen=inner_gens, seed=seed + it, ftol=0.0,
+                             n_max_evals=None, callback=cb)
         trial.n_gen = res.n_gen
         score, bi = _weighted_score(res.pareto_F)
         trial.score = score
