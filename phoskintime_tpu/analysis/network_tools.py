@@ -265,3 +265,281 @@ def plot_network_dag(edges: pd.DataFrame, out_path: str,
     fig.savefig(out_path, dpi=130, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# time-resolved signal readouts (reference kinopt/tfopt_network_readout.py)
+# ---------------------------------------------------------------------------
+
+def _auc(t: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Trapezoid AUC along the last axis."""
+    return np.trapezoid(Y, t, axis=-1)
+
+
+def kinopt_signal_readout(prob, alpha_pad, beta_pad,
+                          times: np.ndarray | None = None) -> dict:
+    """Time-resolved kinopt network readout.
+
+    Spec: reference ``scripts/kinopt_network_readout.py:135-420`` — three
+    analyses from a fitted (alpha, beta):
+
+    1. kinase load: AUC of routed activity ``|alpha_{i,j} A_j(t)|``
+       summed over targets, plus latent activity AUC/peak and the
+       fraction of the kinase's betas pinned at bounds;
+    2. target fragility: per site, the dominant kinase and its share of
+       the total routed signal;
+    3. in-silico knockout effects: change in the reconstructed signal
+       when one kinase's contribution is removed.
+
+    The model is LINEAR in per-edge contributions C[i,a,t], so every
+    knockout prediction is a closed-form subtraction of one slice — the
+    whole readout is one einsum + numpy reductions (the reference
+    rebuilds the prediction per knockout).
+
+    Returns {"kinase_load", "edge_load", "target_fragility",
+    "knockout_effects"} DataFrames.
+    """
+    alpha_pad = np.asarray(alpha_pad, float)
+    beta_pad = np.asarray(beta_pad, float)
+    T = prob.K_array.shape[1]
+    t = (np.arange(T, dtype=float) if times is None
+         else np.asarray(times, float))
+    t = t / max(float(t.max()), 1e-12)          # reference: normalized AUC
+
+    K_sel = np.asarray(prob.K_array)[prob.k_row_idx]          # (n_k,Bmax,T)
+    A = ((beta_pad * prob.k_mask)[..., None] * K_sel).sum(1)  # (n_k, T)
+    S_sel = A[prob.gp_kin_idx]                                # (n_gp,Amax,T)
+    C = (alpha_pad * prob.gp_mask)[..., None] * S_sel         # contributions
+    pred = np.maximum(C.sum(1), 0.0)                          # (n_gp, T)
+
+    names = prob.gp_names or [(f"G{i}", f"S{i}") for i in range(prob.n_gp)]
+    kin_names = prob.kinase_names or [f"K{j}" for j in range(prob.n_k)]
+    pred_auc = _auc(t, np.abs(pred))
+
+    # --- per-edge loads + exact knockouts --------------------------------
+    edge_rows, ko_rows = [], []
+    for i in range(prob.n_gp):
+        slots = np.where(prob.gp_mask[i])[0]
+        base = pred_auc[i]
+        base_peak = float(np.abs(pred[i]).max())
+        for a in slots:
+            j = int(prob.gp_kin_idx[i, a])
+            load = float(_auc(t, np.abs(C[i, a])))
+            edge_rows.append({"gene": names[i][0], "psite": names[i][1],
+                              "kinase": kin_names[j],
+                              "edge_load_auc_abs": load})
+            ko_pred = np.maximum(C[i].sum(0) - C[i, a], 0.0)
+            ko_rows.append({
+                "gene": names[i][0], "psite": names[i][1],
+                "knocked_kinase": kin_names[j],
+                "delta_auc_abs": float(base - _auc(t, np.abs(ko_pred))),
+                "delta_peak_abs": float(base_peak - np.abs(ko_pred).max())})
+    edge_load = pd.DataFrame(edge_rows)
+    ko = pd.DataFrame(ko_rows)
+    if len(ko):
+        ko["ko_rank_site"] = ko.groupby(["gene", "psite"])["delta_auc_abs"] \
+            .rank(ascending=False, method="first").astype(int)
+
+    # --- kinase-level aggregate ------------------------------------------
+    at_bound = (np.isclose(beta_pad, prob.lb, atol=1e-6)
+                | np.isclose(beta_pad, prob.ub, atol=1e-6)) & prob.k_mask
+    kl_rows = []
+    for j in range(prob.n_k):
+        mine = edge_load[edge_load.kinase == kin_names[j]]
+        nb = max(int(prob.k_mask[j].sum()), 1)
+        kl_rows.append({
+            "kinase": kin_names[j],
+            "n_targets": int(mine.gene.nunique()),
+            "n_sites": len(mine),
+            "total_load_auc_abs": float(mine.edge_load_auc_abs.sum()),
+            "latent_auc_abs": float(_auc(t, np.abs(A[j]))),
+            "latent_peak_abs": float(np.abs(A[j]).max()),
+            "frac_beta_at_bound": float(at_bound[j].sum() / nb)})
+    kinase_load = pd.DataFrame(kl_rows).sort_values(
+        "total_load_auc_abs", ascending=False).reset_index(drop=True)
+
+    # --- target fragility -------------------------------------------------
+    tf_rows = []
+    obs_auc = _auc(t, np.abs(np.asarray(prob.P_obs, float)))
+    for i in range(prob.n_gp):
+        mine = edge_load[(edge_load.gene == names[i][0])
+                         & (edge_load.psite == names[i][1])]
+        tot = float(mine.edge_load_auc_abs.sum())
+        dom = mine.loc[mine.edge_load_auc_abs.idxmax()] if len(mine) else None
+        tf_rows.append({
+            "gene": names[i][0], "psite": names[i][1],
+            "n_kinases": len(mine),
+            "dominant_kinase": dom.kinase if dom is not None else "",
+            "dominant_share": (float(dom.edge_load_auc_abs / max(tot, 1e-12))
+                               if dom is not None else 0.0),
+            "pred_auc_abs": float(pred_auc[i]),
+            "obs_auc_abs": float(obs_auc[i])})
+    fragility = pd.DataFrame(tf_rows).sort_values(
+        "dominant_share", ascending=False).reset_index(drop=True)
+
+    return {"kinase_load": kinase_load, "edge_load": edge_load,
+            "target_fragility": fragility, "knockout_effects": ko}
+
+
+def tfopt_signal_readout(prob, alpha_pad, beta_pad,
+                         times: np.ndarray | None = None) -> dict:
+    """tfopt counterpart of :func:`kinopt_signal_readout`
+    (reference ``scripts/tfopt_network_readout.py``): TF regulatory load,
+    gene fragility (dominant TF share) and exact TF-knockout effects,
+    from the linear contribution tensor C[g, r, t] = alpha_{g,r} *
+    effect_r(t)."""
+    alpha_pad = np.asarray(alpha_pad, float)
+    beta_pad = np.asarray(beta_pad, float) * prob.beta_mask
+    T = prob.mRNA_mat.shape[1]
+    t = (np.arange(T, dtype=float) if times is None
+         else np.asarray(times, float))
+    t = t / max(float(t.max()), 1e-12)
+
+    effect = (beta_pad[:, :1] * np.asarray(prob.protein_mat)
+              + np.einsum("fk,fkt->ft", beta_pad[:, 1:],
+                          np.asarray(prob.psite_tensor)))  # (n_TF, T)
+    reg_idx = np.maximum(prob.regulators, 0)
+    C = (alpha_pad * prob.alpha_mask)[..., None] * effect[reg_idx]
+    pred = np.maximum(C.sum(1), 0.0)                       # (n_genes, T)
+    pred_auc = _auc(t, np.abs(pred))
+
+    genes = prob.gene_ids or [f"G{g}" for g in range(prob.n_genes)]
+    tfs = prob.tf_ids or [f"TF{r}" for r in range(prob.n_TF)]
+
+    edge_rows, ko_rows = [], []
+    for g in range(prob.n_genes):
+        slots = np.where(prob.alpha_mask[g])[0]
+        base, base_peak = pred_auc[g], float(np.abs(pred[g]).max())
+        for r in slots:
+            f = int(prob.regulators[g, r])
+            load = float(_auc(t, np.abs(C[g, r])))
+            edge_rows.append({"gene": genes[g], "tf": tfs[f],
+                              "edge_load_auc_abs": load})
+            ko_pred = np.maximum(C[g].sum(0) - C[g, r], 0.0)
+            ko_rows.append({
+                "gene": genes[g], "knocked_tf": tfs[f],
+                "delta_auc_abs": float(base - _auc(t, np.abs(ko_pred))),
+                "delta_peak_abs": float(base_peak - np.abs(ko_pred).max())})
+    edge_load = pd.DataFrame(edge_rows)
+    ko = pd.DataFrame(ko_rows)
+    if len(ko):
+        ko["ko_rank_gene"] = ko.groupby("gene")["delta_auc_abs"] \
+            .rank(ascending=False, method="first").astype(int)
+
+    tf_rows = []
+    for f in range(prob.n_TF):
+        mine = edge_load[edge_load.tf == tfs[f]]
+        tf_rows.append({
+            "tf": tfs[f], "n_genes": int(mine.gene.nunique()),
+            "total_load_auc_abs": float(mine.edge_load_auc_abs.sum()),
+            "latent_auc_abs": float(_auc(t, np.abs(effect[f]))),
+            "latent_peak_abs": float(np.abs(effect[f]).max())})
+    tf_load = pd.DataFrame(tf_rows).sort_values(
+        "total_load_auc_abs", ascending=False).reset_index(drop=True)
+
+    frag_rows = []
+    obs_auc = _auc(t, np.abs(np.asarray(prob.mRNA_mat, float)))
+    for g in range(prob.n_genes):
+        mine = edge_load[edge_load.gene == genes[g]]
+        tot = float(mine.edge_load_auc_abs.sum())
+        dom = mine.loc[mine.edge_load_auc_abs.idxmax()] if len(mine) else None
+        frag_rows.append({
+            "gene": genes[g], "n_tfs": len(mine),
+            "dominant_tf": dom.tf if dom is not None else "",
+            "dominant_share": (float(dom.edge_load_auc_abs / max(tot, 1e-12))
+                               if dom is not None else 0.0),
+            "pred_auc_abs": float(pred_auc[g]),
+            "obs_auc_abs": float(obs_auc[g])})
+    fragility = pd.DataFrame(frag_rows).sort_values(
+        "dominant_share", ascending=False).reset_index(drop=True)
+
+    return {"tf_load": tf_load, "edge_load": edge_load,
+            "gene_fragility": fragility, "knockout_effects": ko}
+
+
+def plot_signal_readout(tables: dict, out_dir: str, *,
+                        which: str = "kinopt") -> list:
+    """Figure set for a signal readout (reference
+    ``scripts/kinopt_network_viz.py:130-316`` plot sets 1-3): control-load
+    top-N bars, breadth-vs-load scatter, knockout-effect distribution and
+    strongest activating/suppressing edges."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    load = tables.get("kinase_load") if which == "kinopt" \
+        else tables.get("tf_load")
+    actor = "kinase" if which == "kinopt" else "tf"
+    tgt_col = "n_sites" if which == "kinopt" else "n_genes"
+
+    if load is not None and len(load):
+        top = load.head(25).iloc[::-1]
+        fig, ax = plt.subplots(figsize=(6.4, 0.28 * len(top) + 1.2))
+        ax.barh(top[actor], top.total_load_auc_abs, color="tab:blue")
+        ax.set_xlabel("total routed activity (AUC)")
+        ax.set_title(f"{actor.capitalize()} control load")
+        fig.tight_layout()
+        p = os.path.join(out_dir, f"{which}_control_load_top.png")
+        fig.savefig(p, dpi=140)
+        plt.close(fig)
+        paths.append(p)
+
+        fig, ax = plt.subplots(figsize=(5.6, 4.3))
+        ax.scatter(load[tgt_col], load.total_load_auc_abs, s=22, alpha=0.85)
+        thr = float(load.total_load_auc_abs.quantile(0.8))
+        for _, r in load[load.total_load_auc_abs > thr].iterrows():
+            ax.annotate(r[actor], (r[tgt_col], r.total_load_auc_abs),
+                        fontsize=7, xytext=(3, 3),
+                        textcoords="offset points")
+        ax.set_xlabel("number of targets")
+        ax.set_ylabel("control load")
+        ax.set_title(f"{actor.capitalize()} breadth vs control load")
+        ax.grid(alpha=0.25, lw=0.6)
+        fig.tight_layout()
+        p = os.path.join(out_dir, f"{which}_breadth_vs_load.png")
+        fig.savefig(p, dpi=140)
+        plt.close(fig)
+        paths.append(p)
+
+    ko = tables.get("knockout_effects")
+    if ko is not None and len(ko):
+        key = "knocked_kinase" if which == "kinopt" else "knocked_tf"
+        fig, ax = plt.subplots(figsize=(5.6, 3.6))
+        ax.hist(ko.delta_auc_abs, bins=45, density=True, alpha=0.85)
+        ax.axvline(0.0, lw=1.0, color="k")
+        ax.set_xlabel("change in reconstructed signal")
+        ax.set_ylabel("density")
+        ax.set_title("Knockout effect distribution")
+        ax.grid(alpha=0.25, lw=0.6)
+        fig.tight_layout()
+        p = os.path.join(out_dir, f"{which}_knockout_distribution.png")
+        fig.savefig(p, dpi=140)
+        plt.close(fig)
+        paths.append(p)
+
+        lab = (ko.gene.astype(str)
+               + (" " + ko.psite.astype(str) if "psite" in ko else "")
+               + " ← " + ko[key].astype(str))
+        for name, sel in [("activating",
+                           ko.assign(edge=lab).nlargest(
+                               20, "delta_auc_abs")),
+                          ("suppressing",
+                           ko.assign(edge=lab).nsmallest(
+                               20, "delta_auc_abs"))]:
+            sel = sel.iloc[::-1]
+            fig, ax = plt.subplots(figsize=(6.6, 0.28 * len(sel) + 1.2))
+            ax.barh(sel.edge, sel.delta_auc_abs,
+                    color="tab:green" if name == "activating"
+                    else "tab:red")
+            ax.set_xlabel("change in reconstructed signal")
+            ax.set_title(f"Strongest {name} edges")
+            fig.tight_layout()
+            p = os.path.join(out_dir, f"{which}_knockout_top_{name}.png")
+            fig.savefig(p, dpi=140)
+            plt.close(fig)
+            paths.append(p)
+    return paths

@@ -338,3 +338,53 @@ class TestKKTSuite:
         assert len(lam) == prob.n_gp + prob.n_k
         sens = out["sensitivity"]
         assert set(["GeneID", "Psite", "Sensitivity Mean"]).issubset(sens.columns)
+
+
+class TestSignalReadouts:
+    """Time-resolved network readouts (reference
+    scripts/kinopt_network_readout.py / tfopt_network_readout.py)."""
+
+    def test_kinopt_readout_semantics(self):
+        from phoskintime_tpu.analysis.network_tools import (
+            kinopt_signal_readout)
+
+        prob, a_true, b_true = kin_problem()
+        tabs = kinopt_signal_readout(prob, a_true, b_true)
+        kl, frag = tabs["kinase_load"], tabs["target_fragility"]
+        ko = tabs["knockout_effects"]
+        assert len(kl) == 2 and len(frag) == 3
+        assert len(ko) == int(prob.gp_mask.sum())
+        # single-kinase sites: knocking the sole kinase removes ALL signal
+        # and the dominant share is exactly 1
+        single = frag[frag.n_kinases == 1]
+        assert len(single) == 2
+        np.testing.assert_allclose(single.dominant_share, 1.0)
+        for _, r in single.iterrows():
+            d = ko[(ko.gene == r.gene) & (ko.psite == r.psite)]
+            np.testing.assert_allclose(d.delta_auc_abs, r.pred_auc_abs,
+                                       rtol=1e-10)
+        # knockout deltas for the truth fit are non-negative (all
+        # contributions are positive here)
+        assert (ko.delta_auc_abs >= -1e-12).all()
+
+    def test_tfopt_readout_semantics(self):
+        from phoskintime_tpu.analysis.network_tools import (
+            tfopt_signal_readout)
+
+        prob, a_true, b_true = tf_problem()[:3]
+        tabs = tfopt_signal_readout(prob, a_true, b_true)
+        assert len(tabs["tf_load"]) == prob.n_TF
+        assert len(tabs["gene_fragility"]) == prob.n_genes
+        assert (tabs["gene_fragility"].dominant_share <= 1.0 + 1e-12).all()
+        assert len(tabs["knockout_effects"]) == int(prob.alpha_mask.sum())
+
+    def test_plots_written(self, tmp_path):
+        from phoskintime_tpu.analysis.network_tools import (
+            kinopt_signal_readout, plot_signal_readout)
+
+        prob, a_true, b_true = kin_problem()
+        tabs = kinopt_signal_readout(prob, a_true, b_true)
+        paths = plot_signal_readout(tabs, str(tmp_path), which="kinopt")
+        import os
+
+        assert len(paths) >= 4 and all(os.path.exists(p) for p in paths)
