@@ -200,9 +200,17 @@ def kinopt_sheets(prob, result, meta=None) -> dict:
 
 
 def export_kinopt_results(path, prob, result, meta=None):
-    """Write the kinopt workbook (Excel, or CSVs without an engine)."""
+    """Write the kinopt workbook (Excel, or CSVs without an engine),
+    including the time-resolved network readout sheets (kinase load,
+    target fragility, knockout effects — reference
+    scripts/kinopt_network_readout.py outputs)."""
+    from phoskintime_tpu.analysis.network_tools import kinopt_signal_readout
+
     w = TableWriter(path)
     for name, df in kinopt_sheets(prob, result, meta).items():
+        w.add(name, df)
+    for name, df in kinopt_signal_readout(prob, result.alpha,
+                                          result.beta).items():
         w.add(name, df)
     return w.save()
 
@@ -248,9 +256,16 @@ def tfopt_sheets(prob, result) -> dict:
 
 
 def export_tfopt_results(path, prob, result):
-    """Write the tfopt workbook (Excel, or CSVs without an engine)."""
+    """Write the tfopt workbook (Excel, or CSVs without an engine),
+    including the TF-load / gene-fragility / knockout readout sheets
+    (reference scripts/tfopt_network_readout.py outputs)."""
+    from phoskintime_tpu.analysis.network_tools import tfopt_signal_readout
+
     w = TableWriter(path)
     for name, df in tfopt_sheets(prob, result).items():
+        w.add(name, df)
+    for name, df in tfopt_signal_readout(prob, result.alpha,
+                                         result.beta).items():
         w.add(name, df)
     return w.save()
 
