@@ -178,7 +178,9 @@ def cmd_tfopt(args):
     loss_type = int(sec.get("loss_type", 5))
     if args.mode == "evol":
         res = run_evolutionary(prob, optimizer=int(sec.get("optimizer", 0)),
-                               loss_type=loss_type)
+                               loss_type=loss_type,
+                               gens_per_dispatch=int(
+                                   sec.get("gens_per_dispatch", 1)))
     else:
         res = run_local(prob, loss_type=loss_type)
     out = os.path.join(data_dir, sec.get("out_file", "tfopt_results.xlsx"))
@@ -213,7 +215,9 @@ def cmd_kinopt(args):
     if args.mode == "evol":
         res = run_evolutionary(prob, method=str(sec.get("method", "NSGA-II")),
                                loss_type=loss_type,
-                               include_reg=bool(sec.get("regularization", False)))
+                               include_reg=bool(sec.get("regularization", False)),
+                               gens_per_dispatch=int(
+                                   sec.get("gens_per_dispatch", 1)))
     else:
         res = run_local(prob, loss_type=loss_type)
     out = os.path.join(data_dir, sec.get("out_file", "kinopt_results.xlsx"))
