@@ -404,11 +404,19 @@ def beta_bars_per_tf(beta_df, out_dir, max_tfs=None):
 # ---------------------------------------------------------------------------
 
 def kinopt_fit_analysis(prob, result, out_dir, meta=None) -> dict:
-    """The full reference kinopt post-fit dashboard from a fitted result."""
+    """The full reference kinopt post-fit dashboard from a fitted result,
+    plus the network-readout figure set (control load, breadth-vs-load,
+    knockout effects — reference scripts/kinopt_network_viz.py)."""
+    from phoskintime_tpu.analysis.network_tools import (
+        kinopt_signal_readout, plot_signal_readout)
     from phoskintime_tpu.io.export import kinopt_sheets
 
-    return kinopt_fit_analysis_from_sheets(
+    out = kinopt_fit_analysis_from_sheets(
         kinopt_sheets(prob, result, meta), out_dir)
+    tabs = kinopt_signal_readout(prob, result.alpha, result.beta)
+    out["network_readout"] = plot_signal_readout(tabs, out_dir,
+                                                 which="kinopt")
+    return out
 
 
 def kinopt_fit_analysis_from_sheets(sheets: dict, out_dir) -> dict:
@@ -438,11 +446,19 @@ def kinopt_fit_analysis_from_sheets(sheets: dict, out_dir) -> dict:
 
 
 def tfopt_fit_analysis(prob, result, out_dir, max_detail=12) -> dict:
-    """The full reference tfopt post-fit dashboard from a fitted result."""
+    """The full reference tfopt post-fit dashboard from a fitted result,
+    plus the TF network-readout figure set (reference
+    scripts/tfopt_network_viz.py)."""
+    from phoskintime_tpu.analysis.network_tools import (
+        plot_signal_readout, tfopt_signal_readout)
     from phoskintime_tpu.io.export import tfopt_sheets
 
-    return tfopt_fit_analysis_from_sheets(tfopt_sheets(prob, result),
-                                          out_dir, max_detail=max_detail)
+    out = tfopt_fit_analysis_from_sheets(tfopt_sheets(prob, result),
+                                         out_dir, max_detail=max_detail)
+    tabs = tfopt_signal_readout(prob, result.alpha, result.beta)
+    out["network_readout"] = plot_signal_readout(tabs, out_dir,
+                                                 which="tfopt")
+    return out
 
 
 def tfopt_fit_analysis_from_sheets(sheets: dict, out_dir,
