@@ -32,6 +32,9 @@ def main(out_dir="demo_results"):
         b["system"], b["slices"], b["loss_data"], b["defaults"],
         b["lambdas"], b["grid"], b["xl"], b["xu"],
         pop=256, n_gen=40, seed=0, mesh=population_mesh(),
+        # all-device loop: 10 generations per dispatch; add
+        # polish_steps=600 for the exact-gradient sharpening pass
+        gens_per_dispatch=10,
         frechet_pick=True, df_prot=b["df_prot"], df_rna=b["df_rna"],
         df_pho=b["df_pho"], t_points=(GRID, RNA_GRID, GRID))
     print(f"fit done: {res.n_evals} evaluations, "
