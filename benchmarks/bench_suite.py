@@ -378,6 +378,25 @@ def northstar_fit(rng):
              "recovery_median_rel_err": round(float(np.median(p_rel)), 4),
              "obs_median_before": round(float(np.median(obs_rel)), 4)})
 
+    # 6-GN: matrix-free Levenberg-Marquardt finish on the polished best
+    # member (damped Gauss-Newton on the exact residual vector; each CG
+    # matvec = jvp+vjp sweep of the full network integration)
+    from phoskintime_tpu.network.polish import lm_refine
+
+    t0 = time.perf_counter()
+    th_gn, sse = lm_refine(b["system"], b["slices"], b["loss_data"],
+                           b["defaults"], b["lambdas"], b["grid"],
+                           pbest, b["xl"], b["xu"], iters=15, cg_iters=25)
+    gn_wall = time.perf_counter() - t0
+    g_obs = _observable_recovery(b, th_gn)
+    section("6_northstar_gn_finish", gn_wall,
+            "s wall-clock (15 LM iters x 25 CG matvecs, best member)",
+            {"sse": round(float(sse), 6),
+             "observable_median_rel_err": round(float(np.median(g_obs)), 4),
+             "observable_p90_rel_err": round(
+                 float(np.percentile(g_obs, 90)), 4),
+             "obs_median_after_adam": round(float(np.median(p_obs)), 4)})
+
 
 def _observable_recovery(b, theta_best):
     """Relative fold-change deviation of the fitted model vs the truth

@@ -220,3 +220,68 @@ def evaluate_population(objective, thetas, mesh=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
         thetas = jax.device_put(thetas, NamedSharding(mesh, P("pop", None)))
     return f(thetas)
+
+
+def make_residual_fn(system, slices, loss_data, defaults, lambdas,
+                     time_grid, *, y0=None, substep=16.0):
+    """Per-observation weighted residual vector for least-squares refinement.
+
+    Returns ``residuals(theta) -> (M,)`` with
+    ``sum(residuals(theta)**2) == objective(theta).sum()`` for the
+    squared-loss production objective (loss_mode 0): each data row is
+    ``sqrt(lambda_mod * norm_mod * w_i) * (obs_i - pred_fc_i)`` and each
+    prior row ``sqrt(3 * lambda_prior / cnt) * rel_dev_k`` (the prior
+    penalty is added to all three objectives, hence the factor 3 under
+    the sum scalarization). Differentiable end-to-end (pure-XLA
+    propagator build) — the Jacobian structure this exposes is what
+    Gauss-Newton/LM refinement needs and the reference's LSODA stack
+    cannot provide."""
+    from phoskintime_tpu.network.expo import exponential_simulate_batched
+    from phoskintime_tpu.network.params import unpack_params
+
+    ld = loss_data
+    norm_p = lambdas["protein"] / max(1e-6, float(ld.w_prot.sum()))
+    norm_r = lambdas["rna"] / max(1e-6, float(ld.w_rna.sum()))
+    norm_ph = lambdas["phospho"] / max(1e-6, float(ld.w_pho.sum()))
+    t_eval = jnp.asarray(time_grid)
+    defaults_j = {k: jnp.asarray(v) for k, v in defaults.items()}
+    cnt = sum(defaults_j[k].size for k in ["A_i", "B_i", "C_i", "D_i",
+                                           "E_i"])
+
+    def res_one(sig, base_idx, p_idx, t_idx, extra_idx, obs, w, scale):
+        if extra_idx is None:
+            cur = sig[t_idx, p_idx]
+            base = sig[base_idx, p_idx]
+        else:
+            cur = sig[t_idx, p_idx, extra_idx]
+            base = sig[base_idx, p_idx, extra_idx]
+        pred_fc = jnp.maximum(cur, EPS) / jnp.maximum(base, EPS)
+        return jnp.sqrt(scale * w) * (obs - pred_fc)
+
+    def residuals(theta):
+        params = unpack_params(theta, slices, system.topo)
+        params_b = {k: v[None] for k, v in params.items()}
+        ys, _ = exponential_simulate_batched(
+            system, params_b, t_eval, substep=substep, y0=y0,
+            use_pallas=False, differentiable=True)
+        obs = extract_observables(system, ys[0])
+        rp = res_one(obs.TOT, ld.prot_base_idx, jnp.asarray(ld.p_prot),
+                     jnp.asarray(ld.t_prot), None,
+                     jnp.asarray(ld.obs_prot), jnp.asarray(ld.w_prot),
+                     norm_p)
+        rr = res_one(obs.R, ld.rna_base_idx, jnp.asarray(ld.p_rna),
+                     jnp.asarray(ld.t_rna), None,
+                     jnp.asarray(ld.obs_rna), jnp.asarray(ld.w_rna),
+                     norm_r)
+        rph = res_one(obs.PHO, ld.pho_base_idx, jnp.asarray(ld.p_pho),
+                      jnp.asarray(ld.t_pho), jnp.asarray(ld.s_pho),
+                      jnp.asarray(ld.obs_pho), jnp.asarray(ld.w_pho),
+                      norm_ph)
+        prior = []
+        for k in ["A_i", "B_i", "C_i", "D_i", "E_i"]:
+            dev = (params[k] - defaults_j[k]) / (defaults_j[k] + 1e-6)
+            prior.append(jnp.sqrt(3.0 * lambdas["prior"] / max(1, cnt))
+                         * dev.ravel())
+        return jnp.concatenate([rp, rr, rph, *prior])
+
+    return residuals

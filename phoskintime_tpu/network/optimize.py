@@ -70,7 +70,7 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                    checkpoint_path=None, checkpoint_every=10,
                    polish_steps=0, polish_lr=0.02,
                    device_variation=True,
-                   gens_per_dispatch=1) -> GlobalFitResult:
+                   gens_per_dispatch=1, gn_iters=0) -> GlobalFitResult:
     """End-to-end global fit (the runner.main optimization core).
 
     solver: "auto" uses the batched exponential fast path for every
@@ -105,6 +105,11 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
     search (and after refinement), merging polished members back through
     non-dominated sorting. The reference's only counterpart is bound-zoom
     re-sampling (``refine.py:32-357``).
+
+    gn_iters > 0 (loss_mode 0 only) finishes with matrix-free
+    Levenberg-Marquardt on the best-by-sum member — damped Gauss-Newton
+    steps on the exact residual vector (:func:`polish.lm_refine`), the
+    fastest local convergence the least-squares structure admits.
     """
     if solver == "auto":
         solver = "expo"  # ETD2RK for 0/1/2, exponential Rosenbrock for 4
@@ -272,6 +277,27 @@ def run_global_fit(system, slices, loss_data, defaults, lambdas, time_grid,
                           pareto_F=F_all[pf],
                           n_evals=res.n_evals
                           + 3 * polish_steps * len(pX))  # ~3 fwd-equiv/step
+
+    # ---- final LM (Gauss-Newton) sharpening of the pick --------------------
+    if gn_iters > 0 and len(res.pareto_X) and loss_mode == 0:
+        from phoskintime_tpu.ops.nsga import fast_non_dominated_sort
+        from phoskintime_tpu.network.polish import lm_refine
+        import dataclasses as _dc
+
+        bi = int(np.argmin(res.pareto_F.sum(axis=1)))
+        th_gn, sse = lm_refine(system, slices, loss_data, defaults,
+                               lambdas, time_grid, res.pareto_X[bi],
+                               xl, xu, iters=gn_iters, y0=y0,
+                               logger=logger)
+        F_gn = np.asarray(evaluate(th_gn[None]), float)
+        X_all = np.vstack([res.X, th_gn[None]])
+        F_all = np.vstack([res.F, F_gn])
+        pf = fast_non_dominated_sort(F_all)[0]
+        res = _dc.replace(res, X=X_all, F=F_all, pareto_X=X_all[pf],
+                          pareto_F=F_all[pf],
+                          n_evals=res.n_evals + gn_iters * 30)
+        if logger is not None:
+            logger.info(f"[GN] best-by-sum sse -> {sse:.6g}")
 
     # ---- Frechet-distance solution picking --------------------------------
     best_idx, scores = 0, np.zeros(len(res.pareto_X))

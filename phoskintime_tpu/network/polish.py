@@ -188,3 +188,79 @@ def gradient_multistart(system, slices, loss_data, defaults, lambdas,
                             time_grid, X0, xl, xu, weights=W, steps=steps,
                             lr=lr, loss_mode=loss_mode, y0=y0, chunk=chunk,
                             seed=seed, mesh=mesh)
+
+
+def lm_refine(system, slices, loss_data, defaults, lambdas, time_grid,
+              theta, xl, xu, *, iters: int = 15, cg_iters: int = 25,
+              mu0: float = 1e-2, y0=None, logger=None):
+    """Levenberg-Marquardt refinement of ONE solution on the exact
+    residual vector (matrix-free Gauss-Newton, conjugate-gradient inner
+    solves).
+
+    The squared-loss objective is a genuine least-squares problem
+    (:func:`phoskintime_tpu.network.objective.make_residual_fn`), so
+    near an optimum a damped Gauss-Newton step converges far faster than
+    first-order descent: each LM iteration solves
+    ``(J^T J + mu I) d = -J^T r`` with CG where every matvec is one
+    jvp + vjp sweep of the full network integration — the Jacobian is
+    never materialized (n_var can be ~1e3, M ~1e4).
+
+    Classic damping: accept lowers mu x0.3, reject raises x4. The
+    iterate is box-projected onto [xl, xu] after every step. Returns
+    (theta_refined, sse) — never worse than the input.
+
+    No reference counterpart at all (LSODA exposes no J^T J structure);
+    anchor for intent: the reference's bound-zoom refinement
+    ``global_model/refine.py:32-357``.
+    """
+    from phoskintime_tpu.network.objective import make_residual_fn
+
+    residuals = make_residual_fn(system, slices, loss_data, defaults,
+                                 lambdas, time_grid, y0=y0)
+    xl_j = jnp.asarray(xl, jnp.float32)
+    xu_j = jnp.asarray(xu, jnp.float32)
+
+    @jax.jit
+    def sse(th):
+        r = residuals(th)
+        return jnp.sum(r * r)
+
+    @jax.jit
+    def lm_step(th, mu):
+        r, vjp_fn = jax.vjp(residuals, th)
+        g = vjp_fn(r)[0]                      # J^T r
+
+        def matvec(p):
+            _, Jp = jax.jvp(residuals, (th,), (p,))
+            return vjp_fn(Jp)[0] + mu * p     # (J^T J + mu I) p
+
+        def cg_body(carry, _):
+            d, res, p, rs = carry
+            Ap = matvec(p)
+            alpha = rs / jnp.maximum(jnp.dot(p, Ap), 1e-30)
+            d = d + alpha * p
+            res = res - alpha * Ap
+            rs_new = jnp.dot(res, res)
+            p = res + (rs_new / jnp.maximum(rs, 1e-30)) * p
+            return (d, res, p, rs_new), None
+
+        d0 = jnp.zeros_like(th)
+        (d, *_), _ = jax.lax.scan(cg_body, (d0, -g, -g, jnp.dot(g, g)),
+                                  None, length=cg_iters)
+        trial = jnp.clip(th + d, xl_j, xu_j)
+        return trial, jnp.sum(residuals(trial) ** 2)
+
+    th = jnp.asarray(np.asarray(theta), jnp.float32)
+    best = float(sse(th))
+    mu = mu0
+    for it in range(iters):
+        trial, cost_t = lm_step(th, jnp.asarray(mu, jnp.float32))
+        cost_t = float(cost_t)
+        if np.isfinite(cost_t) and cost_t < best:
+            th, best = trial, cost_t
+            mu = max(mu * 0.3, 1e-8)
+        else:
+            mu = min(mu * 4.0, 1e6)
+        if logger is not None:
+            logger.info(f"[LM] iter {it}: sse={best:.6g} mu={mu:.2e}")
+    return np.asarray(th, float), best

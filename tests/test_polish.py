@@ -274,3 +274,41 @@ class TestShardedPolish:
             polish_solutions(sys, slices, ld, defaults, LAMBDAS, grid,
                              np.tile(theta0, (12, 1)), xl, xu, steps=2,
                              chunk=6, mesh=mesh)
+
+
+class TestLMRefine:
+    """Matrix-free Gauss-Newton/LM on the exact residual vector."""
+
+    def test_residual_sse_matches_objective(self):
+        from phoskintime_tpu.network.objective import make_residual_fn
+
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        for lams in (LAMBDAS, {**LAMBDAS, "prior": 0.3}):
+            res_fn = make_residual_fn(sys, slices, ld, defaults, lams, grid)
+            obj = make_population_objective(sys, slices, ld, defaults,
+                                            lams, grid, differentiable=True)
+            rng = np.random.default_rng(0)
+            th = jnp.asarray(rng.uniform(xl, xu), jnp.float32)
+            sse = float(jnp.sum(res_fn(th) ** 2))
+            tot = float(np.asarray(obj(th[None])).sum())
+            assert sse == pytest.approx(tot, rel=2e-4), lams
+
+    def test_lm_improves_ga_best(self):
+        from phoskintime_tpu.network.objective import make_residual_fn
+        from phoskintime_tpu.network.optimize import run_global_fit
+        from phoskintime_tpu.network.polish import lm_refine
+
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        res = run_global_fit(sys, slices, ld, defaults, LAMBDAS, grid,
+                             xl, xu, pop=16, n_gen=8, seed=0, ftol=0.0,
+                             frechet_pick=False, gens_per_dispatch=4)
+        best = res.pareto_X[np.argmin(res.pareto_F.sum(axis=1))]
+        res_fn = make_residual_fn(sys, slices, ld, defaults, LAMBDAS, grid)
+        sse_in = float(jnp.sum(res_fn(jnp.asarray(best, jnp.float32)) ** 2))
+        th_out, sse_out = lm_refine(sys, slices, ld, defaults, LAMBDAS,
+                                    grid, best, xl, xu, iters=8,
+                                    cg_iters=12)
+        assert sse_out <= sse_in + 1e-9
+        assert sse_out < 0.7 * sse_in  # GN actually bites, not a no-op
+        assert np.all(th_out >= np.asarray(xl) - 1e-6)
+        assert np.all(th_out <= np.asarray(xu) + 1e-6)
