@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--polish-steps", type=int, default=None,
                    help="exact-gradient Adam polish steps applied to the "
                         "Pareto set after the search (0 = off)")
+    p.add_argument("--gn-iters", type=int, default=None,
+                   help="Levenberg-Marquardt (Gauss-Newton) iterations on "
+                        "the best solution after the search (exact "
+                        "residual Jacobian, matrix-free CG)")
     p.add_argument("--gens-per-dispatch", type=int, default=None,
                    help="GA generations fused into one device program "
                         "(>1 = all-device loop: variation, evaluation and "
@@ -287,6 +291,8 @@ def cmd_global_model(args):
         overrides["polish_steps"] = args.polish_steps
     if getattr(args, "gens_per_dispatch", None) is not None:
         overrides["gens_per_dispatch"] = args.gens_per_dispatch
+    if getattr(args, "gn_iters", None) is not None:
+        overrides["gn_iters"] = args.gn_iters
     if getattr(args, "scan", False):
         overrides["hyperparam_scan"] = True
     if overrides:

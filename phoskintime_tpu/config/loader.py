@@ -89,6 +89,7 @@ class PhosKinConfig:
     polish_steps: int = 0             # exact-gradient Adam polish of the Pareto set
     polish_lr: float = 0.02
     gens_per_dispatch: int = 1        # >1: all-device GA loop (nsga_device)
+    gn_iters: int = 0                 # LM/Gauss-Newton finish on the pick
     loss: int = 0
     # loss weights
     lambda_prior: float = 0.1

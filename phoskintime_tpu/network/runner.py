@@ -138,7 +138,7 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
         rtol=1e-5, atol=1e-7, max_steps=5000, y0=y0,
         refine=cfg.refine, num_refinements=cfg.num_refinements,
         polish_steps=cfg.polish_steps, polish_lr=cfg.polish_lr,
-        gens_per_dispatch=cfg.gens_per_dispatch,
+        gens_per_dispatch=cfg.gens_per_dispatch, gn_iters=cfg.gn_iters,
         frechet_pick=True, df_prot=df_prot, df_rna=df_rna, df_pho=df_pho,
         t_points=(tp_p, tp_r, tp_p), logger=logger)
     logger.info(f"[Fit] done: {res.n_evals} evaluations, "
