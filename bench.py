@@ -23,6 +23,11 @@ Extra fields (round-3 additions):
                         per objective call (``compiled.cost_analysis()``)
                         x calls/s / v5e peak (197e12 bf16 FLOP/s — f32
                         matmuls lower to bf16-rate MXU passes by default).
+                        Tiny by construction: the workload is w<=8 block
+                        operators, not large matmuls.
+  ``hbm_bw_util``     — XLA-counted bytes accessed per call x calls/s /
+                        v5e HBM bandwidth (819e9 B/s). The honest roofline
+                        for this bandwidth-bound workload.
   ``device_busy_frac``— measured device-compute time per call (K calls
                         chained inside ONE jit, so dispatch is out of the
                         loop) / streamed per-call wall. <1 means the chip
@@ -49,6 +54,9 @@ SCIPY_1CORE_EVALS_PER_S = 0.291
 # v5e single-chip peak (dense bf16 MXU FLOP/s). f32 jnp matmuls lower to
 # bf16-rate MXU passes at default precision, so this is the honest roof.
 V5E_PEAK_FLOPS = 197e12
+# v5e single-chip HBM bandwidth (B/s) — the roofline that actually binds
+# this small-block workload.
+V5E_HBM_BW = 819e9
 
 
 def tpu_rate():
@@ -88,8 +96,10 @@ def tpu_rate():
         if isinstance(ca, list):
             ca = ca[0]
         flops_per_call = float(ca.get("flops", 0.0))
+        bytes_per_call = float(ca.get("bytes accessed", 0.0))
     except Exception:
         flops_per_call = 0.0
+        bytes_per_call = 0.0
 
     n_rep = 5
     t0 = time.perf_counter()
@@ -119,8 +129,10 @@ def tpu_rate():
     rate = POP / t_stream
     extras = {
         "mfu": round(flops_per_call * rate / POP / V5E_PEAK_FLOPS, 6),
+        "hbm_bw_util": round(bytes_per_call * rate / POP / V5E_HBM_BW, 4),
         "device_busy_frac": round(min(t_device / t_stream, 1.0), 3),
         "flops_per_eval": round(flops_per_call / POP),
+        "bytes_per_eval": round(bytes_per_call / POP),
     }
     return rate, b, extras
 
