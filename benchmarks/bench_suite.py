@@ -195,15 +195,25 @@ def main():
     for name, dev, gpd in [("3_ga_device_variation", True, 1),
                            ("3_ga_host_variation_ablation", False, 1),
                            ("3_ga_device_loop_10pd", True, 10)]:
-        t0 = time.perf_counter()
-        resg = run_global_fit(b["system"], b["slices"], b["loss_data"],
-                              b["defaults"], b["lambdas"], b["grid"],
-                              b["xl"], b["xu"], pop=384, n_gen=20, seed=0,
-                              ftol=0.0, frechet_pick=False,
-                              device_variation=dev, gens_per_dispatch=gpd)
-        dt = time.perf_counter() - t0
-        section(name, dt / 20 * 1e3, "ms/generation (pop=384, incl eval)",
-                {"wall_s": round(dt, 2),
+        # two passes: the first pays XLA compiles (persisted to the
+        # compile cache), the second measures steady-state ms/generation —
+        # at a 20-gen budget a one-shot timing is compile-dominated for
+        # the fused device programs but not for the host ablation (which
+        # reuses earlier arms' compiled objective), so one-shot numbers
+        # are not comparable across the three arms
+        walls = []
+        for _pass in range(2):
+            t0 = time.perf_counter()
+            resg = run_global_fit(b["system"], b["slices"], b["loss_data"],
+                                  b["defaults"], b["lambdas"], b["grid"],
+                                  b["xl"], b["xu"], pop=384, n_gen=20, seed=0,
+                                  ftol=0.0, frechet_pick=False,
+                                  device_variation=dev, gens_per_dispatch=gpd)
+            walls.append(time.perf_counter() - t0)
+        cold, dt = walls
+        section(name, dt / 20 * 1e3,
+                "ms/generation (pop=384, incl eval, warm)",
+                {"wall_s": round(dt, 2), "cold_wall_s": round(cold, 2),
                  "ideal": [round(float(v), 5)
                            for v in resg.pareto_F.min(axis=0)]})
 
