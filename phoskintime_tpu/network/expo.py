@@ -424,11 +424,62 @@ def _phi_vectors_lanes(L, h, taylor_terms: int | None = None,
     return E, p1, p2
 
 
+def _run_scan_megakernel(system, params_b, mega, E_u, Phi1_u, Phi2_u, u_h,
+                         y0b, P, N, w, dtype):
+    """Pack the lane layout and run the whole segment scan as ONE Pallas
+    kernel (:func:`phoskintime_tpu.ops.scan_pallas.etd2rk_scan_pallas`).
+
+    Lanes are member-major, protein-minor, protein axis padded to
+    ``mega['Npad']`` so member blocks tile the lane axis exactly — the TF
+    coupling then runs as static lane rotations inside the kernel. Tables
+    arrive already in the padded layout (the caller pads L before the
+    table build). Off-TPU the kernel runs in interpret mode (tests).
+    """
+    from phoskintime_tpu.ops.scan_pallas import etd2rk_scan_pallas
+
+    rhs = system.rhs
+    Np, T = mega["Npad"], mega["T"]
+    u_h_j = jnp.asarray(u_h, dtype)
+    # fold the static per-pair 1/h of the ETD2RK correction into the table
+    p2h = Phi2_u / u_h_j[:, None, None]
+
+    A = jnp.pad(jnp.asarray(params_b["A_i"], dtype),
+                ((0, 0), (0, Np - N))).reshape(1, P * Np)
+    ts = jnp.repeat(jnp.asarray(params_b["tf_scale"], dtype),
+                    Np).reshape(1, P * Np)
+    # kinase live-drive table: drv[b, lane(p, q)] = (Kmat[:, b] * c_k[p])
+    # [driver_idx[q]] (reference jacspeedup driver_map semantics); lanes
+    # whose protein is not driven are masked by dm inside the kernel
+    Kt_all = params_b["c_k"][:, :, None] * rhs.Kmat[None]   # (P, K, NB)
+    drv = Kt_all[:, jnp.asarray(mega["driver_idx"]), :]     # (P, Np, NB)
+    drv = jnp.transpose(drv, (2, 0, 1)).reshape(-1, P * Np)
+
+    Y0 = jnp.pad(y0b.reshape(P, N, w), ((0, 0), (0, Np - N), (0, 0)))
+    y0l = jnp.transpose(Y0.reshape(P * Np, w), (1, 0))      # (w, P*Np)
+
+    tile = lambda x: jnp.tile(jnp.asarray(x, dtype), (1, P))
+    try:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:
+        interpret = True
+    ys_l = etd2rk_scan_pallas(
+        E_u, Phi1_u, p2h, y0l, drv, A, ts, tile(mega["totw"]),
+        tile(mega["dm"]), tile(mega["c1"]), tile(mega["c2"]),
+        mega["uidx"], mega["jb"], mega["out_slot"],
+        shifts=mega["shifts"], Npad=Np, T=T,
+        init_slots=mega["init_slots"], interpret=interpret)
+    ys = jnp.transpose(ys_l.reshape(T, w, P, Np)[..., :N],
+                       (2, 0, 3, 1)).reshape(P, T, N * w)
+    success = jnp.all(jnp.isfinite(ys), axis=(1, 2))
+    return ys, success
+
+
 def exponential_simulate_batched(system, params_b, t_eval,
                                  substep: float = 16.0, y0=None,
                                  use_pallas: bool | None = None,
                                  differentiable: bool = False,
-                                 width_bucketing: bool | None = None):
+                                 width_bucketing: bool | None = None,
+                                 use_scan_kernel: bool | None = None):
     """Natively-batched ETD2RK: params_b leaves carry a leading population
     axis P; returns (ys (P, T, d), success (P,)).
 
@@ -449,6 +500,17 @@ def exponential_simulate_batched(system, params_b, t_eval,
     with heterogeneous site counts, see the class-build block below);
     False forces the single full-width path; True lifts the auto
     thresholds (still a no-op when every protein shares one width).
+
+    ``use_scan_kernel``: None = auto — on a single real TPU chip at f32
+    the ENTIRE segment scan additionally runs as one Pallas megakernel
+    (:mod:`phoskintime_tpu.ops.scan_pallas`) that keeps the state and all
+    propagator tables VMEM-resident across every segment (the XLA scan
+    re-reads its (bucket, h) table slab from HBM per segment — measured
+    19% HBM-bandwidth utilization with the chip 99% busy). True forces it
+    (interpret mode off-TPU, for tests); False keeps the XLA scan. The
+    kernel silently falls back to the XLA scan when the problem is
+    ineligible (model 4, width-bucketed model 2, t_eval slot collisions,
+    TF matrix too dense, VMEM-infeasible tile).
     """
     if differentiable:
         use_pallas = False
@@ -598,14 +660,38 @@ def exponential_simulate_batched(system, params_b, t_eval,
                 len(bucket_uniq), wc, wc, -1)            # (Bu, wc, wc, P*Nc)
             tables.append(build_tables(Lc, wc, P * len(idx)))
     else:
+        if use_scan_kernel is None:
+            # opt-in for now: the kernel itself beats the XLA scan (0.65 ms
+            # vs ~10 ms at pop 2048) but the padded-lane table build +
+            # pack/unpack around it currently cost more than the scan
+            # saves (46 vs 36 ms/sim device time at pop 2048) — auto flips
+            # on once the surrounding pipeline is paid down
+            use_scan_kernel = False
+        mega = None
+        if use_scan_kernel and not differentiable:
+            from phoskintime_tpu.ops.scan_pallas import prepare_scan_plan
+
+            mega = prepare_scan_plan(system.rhs, seg_jb, seg_uidx, u_h,
+                                     out_idx, len(out_idx))
         L_pb = jax.vmap(blocks_one)(params_b)            # (P, Bu, N, w, w)
+        # megakernel lane layout pads the protein axis to a multiple of 8
+        # (member blocks must tile the lane axis); padded blocks are zero
+        # -> E = I, p1 = h e0, and the padded state stays exactly 0
+        Np = N if mega is None else mega["Npad"]
+        if Np != N:
+            L_pb = jnp.pad(L_pb, ((0, 0), (0, 0), (0, Np - N),
+                                  (0, 0), (0, 0)))
         # lane layout: batch (P*N) on the minor (lane) axis — a
         # (..., w, w) trailing layout tile-pads every tiny matrix to
         # (8, 128), a ~20x memory/bandwidth tax measured on the gathers
         # in the segment scan.
         L_lanes = jnp.transpose(L_pb, (1, 3, 4, 0, 2)).reshape(
-            len(bucket_uniq), w, w, P * N)               # (Bu, w, w, PN)
-        E_u, Phi1_u, Phi2_u = build_tables(L_lanes, w, P * N)
+            len(bucket_uniq), w, w, P * Np)              # (Bu, w, w, PNp)
+        E_u, Phi1_u, Phi2_u = build_tables(L_lanes, w, P * Np)
+        if mega is not None:
+            return _run_scan_megakernel(system, params_b, mega, E_u,
+                                        Phi1_u, Phi2_u, u_h, y0b, P, N, w,
+                                        dtype)
     # unbucketed: E_u (U, w, w, PN); Phi*_u (U, w, PN); scan-step lookup
     # is a contiguous leading-axis slice. bucketed: per-class narrow
     # tables in ``tables`` aligned with ``classes``/``lane_idx_c``.

@@ -106,7 +106,7 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
                               time_grid, loss_mode=0, fail_value=1e12,
                               y0=None, substep=16.0, use_pallas=None,
                               differentiable=False, pop_chunk=8192,
-                              width_bucketing=None):
+                              width_bucketing=None, use_scan_kernel=None):
     """Natively-batched objective: thetas (P, n) -> F (P, 3), using the
     exponential (ETD2RK) integrator's flat-batch fast path.
 
@@ -150,7 +150,8 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
         ys, success = exponential_simulate_batched(
             system, params_b, t_eval, substep=substep, y0=y0,
             use_pallas=use_pallas, differentiable=differentiable,
-            width_bucketing=width_bucketing)
+            width_bucketing=width_bucketing,
+            use_scan_kernel=use_scan_kernel)
 
         def losses_one(Y_flat):
             obs = extract_observables(system, Y_flat)

@@ -175,3 +175,74 @@ class TestPhiPallasAll:
             ladder_len(w, 2.0), blk=128, interpret=True)
         assert E.shape == (1, w, w, B) and p1.shape == (1, w, B)
         assert bool(jnp.all(jnp.isfinite(E)))
+
+
+class TestScanMegakernel:
+    """The whole-segment-scan Pallas kernel (ops/scan_pallas.py) against
+    the XLA lax.scan path it replaces — identical ETD2RK math, so parity
+    holds to f32 ordering noise (both sit within the method's own
+    discretization error of a fine-substep run)."""
+
+    def _batched(self, model, P=4, seed=7):
+        import sys as _s
+        _s.path.insert(0, "tests")
+        from test_expo import make_system
+        rng = np.random.default_rng(seed)
+        sys_, pj = make_system(model)
+        pb = {}
+        for k, v in pj.items():
+            v = np.asarray(v, np.float32)
+            pb[k] = jnp.asarray(v[None] * rng.uniform(
+                0.8, 1.2, (P,) + v.shape).astype(np.float32))
+        return sys_, pb
+
+    def test_parity_models(self):
+        from test_expo import GRID
+        from phoskintime_tpu.network.expo import exponential_simulate_batched
+
+        for model in (0, 1, 2):
+            sys_, pb = self._batched(model)
+            ys_ref, ok_r = exponential_simulate_batched(
+                sys_, pb, GRID, use_scan_kernel=False)
+            ys_m, ok_m = exponential_simulate_batched(
+                sys_, pb, GRID, use_scan_kernel=True)
+            assert bool(ok_r.all()) and bool(ok_m.all())
+            np.testing.assert_allclose(np.asarray(ys_m), np.asarray(ys_ref),
+                                       rtol=2e-3, atol=1e-5)
+
+    def test_plan_gates(self):
+        from test_expo import GRID
+        from phoskintime_tpu.network.expo import _segment_plan
+        from phoskintime_tpu.ops.scan_pallas import prepare_scan_plan
+
+        sys_, _ = self._batched(0)
+        (seg_t0, seg_h, seg_jb, out_idx, seg_uidx, u_jb, u_h) = _segment_plan(
+            tuple(np.asarray(sys_.kin_grid, float)),
+            tuple(np.asarray(GRID, float)), 16.0)
+        plan = prepare_scan_plan(sys_.rhs, seg_jb, seg_uidx, u_h, out_idx,
+                                 len(out_idx))
+        assert plan is not None
+        assert plan["Npad"] % 8 == 0 and plan["Npad"] >= sys_.topo.N
+        # every positive t_eval has exactly one writing segment
+        pos = np.asarray(out_idx)[np.asarray(out_idx) >= 0]
+        assert sorted(plan["out_slot"][plan["out_slot"] >= 0].tolist()) == \
+            sorted(range(len(GRID)))[len(GRID) - len(pos):]
+        # collision (two t_eval on one segment) -> fallback
+        bad = np.asarray(out_idx).copy()
+        bad[2] = bad[1]
+        assert prepare_scan_plan(sys_.rhs, seg_jb, seg_uidx, u_h, bad,
+                                 len(bad)) is None
+
+    def test_model4_falls_back(self):
+        """The saturating mechanism has no static phi table; forcing the
+        kernel must silently take the Rosenbrock path."""
+        from test_expo import GRID
+        from phoskintime_tpu.network.expo import exponential_simulate_batched
+
+        sys_, pb = self._batched(4)
+        ys_a, ok_a = exponential_simulate_batched(
+            sys_, pb, GRID, use_scan_kernel=True)
+        ys_b, ok_b = exponential_simulate_batched(
+            sys_, pb, GRID, use_scan_kernel=False)
+        assert bool(ok_a.all()) and bool(ok_b.all())
+        np.testing.assert_allclose(np.asarray(ys_a), np.asarray(ys_b))
