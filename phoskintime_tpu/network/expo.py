@@ -474,12 +474,26 @@ def _run_scan_megakernel(system, params_b, mega, E_u, Phi1_u, Phi2_u, u_h,
     return ys, success
 
 
+def _obs_from_ys(system, ys):
+    """(R, TOT, PHO) observables from a batched padded trajectory
+    ys (P, T, N*w) — fallback for the return-path branches that already
+    materialize the full-width trajectory (model 4, megakernel)."""
+    from phoskintime_tpu.network.simulate import extract_observables
+
+    def one(Y):
+        o = extract_observables(system, Y)
+        return o.R, o.TOT, o.PHO
+
+    return jax.vmap(one)(ys)
+
+
 def exponential_simulate_batched(system, params_b, t_eval,
                                  substep: float = 16.0, y0=None,
                                  use_pallas: bool | None = None,
                                  differentiable: bool = False,
                                  width_bucketing: bool | None = None,
-                                 use_scan_kernel: bool | None = None):
+                                 use_scan_kernel: bool | None = None,
+                                 return_observables: bool = False):
     """Natively-batched ETD2RK: params_b leaves carry a leading population
     axis P; returns (ys (P, T, d), success (P,)).
 
@@ -511,6 +525,15 @@ def exponential_simulate_batched(system, params_b, t_eval,
     kernel silently falls back to the XLA scan when the problem is
     ineligible (model 4, width-bucketed model 2, t_eval slot collisions,
     TF matrix too dense, VMEM-infeasible tile).
+
+    ``return_observables=True`` returns ``((R, TOT, PHO), success)``
+    with R/TOT (P, T, N) and PHO (P, T, N, Smax) instead of the padded
+    trajectory — the observables are reduced straight off the lane-layout
+    scan output (per width class on the bucketed path), so the
+    (P, T, N*w) full-width trajectory is never materialized and the
+    model-2 bitmask aggregation runs at class width 2^s instead of the
+    global 2^Smax. Values match ``extract_observables`` on the
+    trajectory exactly (pinned by test).
     """
     if differentiable:
         use_pallas = False
@@ -529,9 +552,12 @@ def exponential_simulate_batched(system, params_b, t_eval,
         tuple(np.asarray(t_eval, float)), float(substep))
 
     if topo.model == 4:
-        return _rosenbrock_simulate_batched(
+        ys, success = _rosenbrock_simulate_batched(
             system, params_b, y0b, seg_t0, seg_h, seg_jb, out_idx, dtype,
             differentiable=differentiable)
+        if return_observables:
+            return _obs_from_ys(system, ys), success
+        return ys, success
 
     bucket_uniq, bucket_inv = np.unique(u_jb, return_inverse=True)
 
@@ -689,9 +715,12 @@ def exponential_simulate_batched(system, params_b, t_eval,
             len(bucket_uniq), w, w, P * Np)              # (Bu, w, w, PNp)
         E_u, Phi1_u, Phi2_u = build_tables(L_lanes, w, P * Np)
         if mega is not None:
-            return _run_scan_megakernel(system, params_b, mega, E_u,
-                                        Phi1_u, Phi2_u, u_h, y0b, P, N, w,
-                                        dtype)
+            ys, success = _run_scan_megakernel(system, params_b, mega, E_u,
+                                               Phi1_u, Phi2_u, u_h, y0b,
+                                               P, N, w, dtype)
+            if return_observables:
+                return _obs_from_ys(system, ys), success
+            return ys, success
     # unbucketed: E_u (U, w, w, PN); Phi*_u (U, w, PN); scan-step lookup
     # is a contiguous leading-axis slice. bucketed: per-class narrow
     # tables in ``tables`` aligned with ``classes``/``lane_idx_c``.
