@@ -476,8 +476,10 @@ def _run_scan_megakernel(system, params_b, mega, E_u, Phi1_u, Phi2_u, u_h,
 
 def _obs_from_ys(system, ys):
     """(R, TOT, PHO) observables from a batched padded trajectory
-    ys (P, T, N*w) — fallback for the return-path branches that already
-    materialize the full-width trajectory (model 4, megakernel)."""
+    ys (P, T, N*w): a vmap of ``extract_observables`` over the population
+    axis. Every return path of :func:`exponential_simulate_batched` funnels
+    through this when ``return_observables=True`` (the trajectory is always
+    materialized first)."""
     from phoskintime_tpu.network.simulate import extract_observables
 
     def one(Y):
@@ -528,12 +530,12 @@ def exponential_simulate_batched(system, params_b, t_eval,
 
     ``return_observables=True`` returns ``((R, TOT, PHO), success)``
     with R/TOT (P, T, N) and PHO (P, T, N, Smax) instead of the padded
-    trajectory — the observables are reduced straight off the lane-layout
-    scan output (per width class on the bucketed path), so the
-    (P, T, N*w) full-width trajectory is never materialized and the
-    model-2 bitmask aggregation runs at class width 2^s instead of the
-    global 2^Smax. Values match ``extract_observables`` on the
-    trajectory exactly (pinned by test).
+    trajectory. This is a post-hoc ``vmap`` of ``extract_observables``
+    on the materialized (P, T, N*w) trajectory — a convenience for
+    callers that only consume observables, not a memory saving. Honored
+    on every path (model 4, megakernel, width-bucketed, unbucketed);
+    values match ``extract_observables`` on the returned trajectory
+    exactly (pinned by ``tests/test_expo.py::TestReturnObservables``).
     """
     if differentiable:
         use_pallas = False
@@ -828,6 +830,8 @@ def exponential_simulate_batched(system, params_b, t_eval,
         ys = jnp.transpose(ys_p[:, inv], (0, 2, 1, 3)).reshape(
             P, T, N * w)
         success = jnp.all(jnp.isfinite(ys), axis=(1, 2))
+        if return_observables:
+            return _obs_from_ys(system, ys), success
         return ys, success
 
     def step(yl, seg):
@@ -846,6 +850,8 @@ def exponential_simulate_batched(system, params_b, t_eval,
     ys = jnp.transpose(sel.reshape(len(out_idx), w, P, N),
                        (2, 0, 3, 1)).reshape(P, len(out_idx), N * w)
     success = jnp.all(jnp.isfinite(ys), axis=(1, 2))
+    if return_observables:
+        return _obs_from_ys(system, ys), success
     return ys, success
 
 

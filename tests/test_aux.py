@@ -1,6 +1,8 @@
 """Auxiliary subsystem tests: checkpointing, Sobol, analysis tools,
 dashboard bundle, mesh helpers."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -433,3 +435,33 @@ class TestLogconfFileHandler:
         n = len(lg2.handlers)
         setup_logger(name, log_dir=tmp_path)
         assert len(lg2.handlers) == n
+
+
+class TestEagerX64:
+    """PHOSKINTIME_DTYPE=float64 must flip jax_enable_x64 at PACKAGE IMPORT
+    (config/numerics.py module top), not lazily at the first
+    working_dtype() call — arrays created in between would otherwise get
+    f32 semantics silently (round-2/3 advisor finding)."""
+
+    def test_array_created_before_first_working_dtype_call_is_f64(self):
+        import subprocess
+        import sys
+
+        code = (
+            "import os\n"
+            "os.environ['PHOSKINTIME_DTYPE'] = 'float64'\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import phoskintime_tpu  # noqa: F401  (flip happens here)\n"
+            "import jax.numpy as jnp\n"
+            "x = jnp.asarray([1.0, 2.0])\n"
+            "assert x.dtype == jnp.float64, x.dtype\n"
+            "from phoskintime_tpu.config.numerics import working_dtype\n"
+            "assert working_dtype() == jnp.float64\n"
+            "print('OK')\n"
+        )
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PHOSKINTIME_DTYPE", "JAX_PLATFORMS")}
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr
+        assert "OK" in out.stdout

@@ -203,3 +203,51 @@ class TestWidthBucketing:
         assert bool(jnp.all(ok_b)) and bool(jnp.all(ok_f))
         np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ys_f),
                                    rtol=2e-4, atol=1e-6)
+
+
+class TestReturnObservables:
+    """return_observables=True must return ((R, TOT, PHO), success) with
+    values equal to extract_observables on the trajectory, on EVERY path:
+    model 4 (Rosenbrock), megakernel (interpret mode on CPU),
+    width-bucketed model 2, and the default unbucketed XLA scan
+    (round-3 advisor finding: the last two silently ignored the flag)."""
+
+    def _check(self, sys_, pj, pop=2, **kw):
+        import jax
+
+        from phoskintime_tpu.network.expo import exponential_simulate_batched
+        from phoskintime_tpu.network.simulate import extract_observables
+
+        rng = np.random.default_rng(7)
+        pb = {k: jnp.asarray(np.asarray(v)[None]
+                             * rng.uniform(0.8, 1.2, (pop,) + (1,) * np.ndim(v)))
+              for k, v in pj.items()}
+        ys, ok = exponential_simulate_batched(sys_, pb, GRID, substep=8.0, **kw)
+        (R, TOT, PHO), ok2 = exponential_simulate_batched(
+            sys_, pb, GRID, substep=8.0, return_observables=True, **kw)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok2))
+
+        def one(Y):
+            o = extract_observables(sys_, Y)
+            return o.R, o.TOT, o.PHO
+
+        R_ref, TOT_ref, PHO_ref = jax.vmap(one)(ys)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(TOT), np.asarray(TOT_ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(PHO), np.asarray(PHO_ref), rtol=1e-6)
+
+    def test_unbucketed_scan(self):
+        sys_, pj = make_system(0)
+        self._check(sys_, pj)
+
+    def test_model4_rosenbrock(self):
+        sys_, pj = make_system(4)
+        self._check(sys_, pj)
+
+    def test_width_bucketed(self):
+        sys_, pj = make_hetero_system()
+        self._check(sys_, pj, width_bucketing=True)
+
+    def test_megakernel(self):
+        sys_, pj = make_system(0)
+        self._check(sys_, pj, use_scan_kernel=True)
