@@ -150,6 +150,82 @@ def _block_linear_operators(system, params, buckets: np.ndarray, dtype):
     return jax.vmap(columns_for_bucket)(jnp.asarray(buckets))
 
 
+def _linear_blocks_lanes(system, params_b, buckets: np.ndarray, dtype,
+                         Npad: int):
+    """(Bu, w, w, P*Npad) linear blocks for the affine mechanisms
+    (models 0/1), built DIRECTLY in the lane layout.
+
+    Same entries as :meth:`PaddedRHS.linear_blocks` (pinned by test),
+    but assembled as w*w lane planes instead of per-member (N, w, w)
+    tensors: the (P, Bu, N, w, w) -> (Bu, w, w, P*N) transpose that
+    layout required was the bulk of a measured 16.9 ms at pop 8192
+    (round-4 decomp profile) — a major-to-minor inversion of ~690 MB
+    that XLA executes as a strided copy. Here every plane is an
+    elementwise function of parameter lanes, and the only contractions
+    are Smax (Bu*P, K) @ (K, N) site-rate matmuls that land N-minor,
+    i.e. already in lane order. Lanes beyond N (protein padding for the
+    scan megakernel) hold all-zero blocks.
+    """
+    rhs = system.rhs
+    N, w, Smax = rhs.N, rhs.width, rhs.Smax
+    P = params_b["c_k"].shape[0]
+    Bu = len(buckets)
+    hi = jax.lax.Precision.HIGHEST
+
+    def lane(x):                                  # (P, N) -> (1, P*Npad)
+        x = jnp.asarray(x, dtype)
+        if Npad != N:
+            x = jnp.pad(x, ((0, 0), (0, Npad - N)))
+        return x.reshape(1, -1)
+
+    Kt = (params_b["c_k"][None]
+          * jnp.transpose(rhs.Kmat[:, jnp.asarray(buckets)])[:, None, :])
+    Kt = jnp.asarray(Kt, dtype)                   # (Bu, P, K)
+    msk = rhs.site_mask                           # (N, Smax)
+
+    def srate(j):                                 # masked S_j, (Bu, P*Npad)
+        Wj = jnp.asarray(rhs.W_pad[:, j, :] * msk[:, j:j + 1], dtype)
+        Smj = jnp.einsum("bpk,nk->bpn", Kt, Wj, precision=hi)
+        if Npad != N:
+            Smj = jnp.pad(Smj, ((0, 0), (0, 0), (0, Npad - N)))
+        return Smj.reshape(Bu, -1)
+
+    Sm = [srate(j) for j in range(Smax)]
+    B_l, C_l, D_l, E_l = (lane(params_b[k])
+                          for k in ("B_i", "C_i", "D_i", "E_i"))
+    msk_l = [lane(jnp.broadcast_to(msk[None, :, j], (P, N)))
+             for j in range(Smax)]
+    Dp_l = [lane(params_b["Dp_i"][:, :, j]) for j in range(Smax)]
+    zero = jnp.zeros((Bu, P * Npad), dtype)
+    bc = lambda x: jnp.broadcast_to(x, (Bu, P * Npad))
+
+    rows = [[zero for _ in range(w)] for _ in range(w)]
+    rows[0][0] = bc(-B_l)
+    rows[1][0] = bc(C_l)
+    if rhs.model == 0:
+        rows[1][1] = bc(-D_l) - sum(Sm)
+        for j in range(Smax):
+            rows[1][2 + j] = bc(E_l * msk_l[j])
+            rows[2 + j][1] = Sm[j]
+            rows[2 + j][2 + j] = bc(-(E_l + Dp_l[j] + D_l) * msk_l[j])
+    else:                                         # model 1 (chain)
+        has = msk_l                               # site-presence lanes
+        has_next = has[1:] + [jnp.zeros_like(has[0])]
+        k_next = Sm[1:] + [zero]
+        rows[1][1] = bc(-D_l) - Sm[0] * bc(has[0])
+        if w > 2:
+            rows[1][2] = bc(E_l * has[0])
+        rows[2][1] = Sm[0] * bc(msk_l[0])
+        for j in range(1, Smax):
+            rows[2 + j][1 + j] = Sm[j] * bc(msk_l[j])
+        for j in range(Smax):
+            if j + 1 < Smax:
+                rows[2 + j][3 + j] = bc(E_l * has_next[j] * msk_l[j])
+            rows[2 + j][2 + j] = -(k_next[j] * bc(has_next[j]) + bc(E_l)
+                                   + bc(Dp_l[j]) + bc(D_l)) * bc(msk_l[j])
+    return jnp.stack([jnp.stack(r, axis=1) for r in rows], axis=1)
+
+
 def _block_linear_operators_class(system, params, buckets: np.ndarray,
                                   dtype, idx: np.ndarray, wc: int):
     """(B, Nc, wc, wc) blocks for ONE width class (protein subset ``idx``
@@ -217,6 +293,17 @@ def _jac_blocks_batched(system, params_b, Yb, jb, t, dtype):
 
 _MAX_SQUARINGS = 24
 _TAYLOR_TERMS = 12
+
+
+def _taylor_radius(dtype) -> float:
+    """Pre-squaring Taylor radius, by dtype: f32 runs 8 terms at 0.5
+    (err 0.5^9/9! ~ 5.4e-9, beyond f32 eps — one squaring saved for
+    every lane vs 0.25); f64 runs 12 terms at 0.25 (0.25^13/13! ~
+    2.4e-17). Must match ``ops/phi_pallas._RADIUS`` for the f32 case:
+    per-lane squaring counts decide the rounding path, so the Pallas
+    kernel and the XLA ladder stay bit-comparable only on a shared
+    radius."""
+    return 0.25 if dtype == jnp.float64 else 0.5
 # per-rate cap used to size the static (unrolled) squaring ladders in the
 # batched table build: ||L||_inf <= cap * (block width); softplus-bounded
 # physical rates sit well under it
@@ -247,7 +334,8 @@ def expm_taylor_batched(A: jnp.ndarray) -> jnp.ndarray:
     """
     At = jnp.transpose(A, (1, 2, 0))                       # (w, w, B)
     norm = jnp.max(jnp.sum(jnp.abs(At), axis=1), axis=0)   # inf-norm, (B,)
-    s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.25)))
+    rad = _taylor_radius(A.dtype)
+    s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / rad)))
     s = jnp.minimum(s, float(_MAX_SQUARINGS))
     At = At / (2.0 ** s)[None, None, :]
 
@@ -312,7 +400,8 @@ def _phi_matrices_lanes(L, h, max_squarings: int = _MAX_SQUARINGS,
         taylor_terms = 12 if L.dtype == jnp.float64 else 8
     A = L * jnp.asarray(h)[None, None, :]             # Lh, (w, w, B)
     norm = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)
-    s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.25)))
+    rad = _taylor_radius(L.dtype)
+    s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / rad)))
     s = jnp.minimum(s, float(unroll if unroll is not None else max_squarings))
     scale = 2.0 ** s
     A = A / scale[None, None, :]
@@ -380,7 +469,8 @@ def _phi_vectors_lanes(L, h, taylor_terms: int | None = None,
         taylor_terms = 12 if L.dtype == jnp.float64 else 8
     A = L * jnp.asarray(h)[None, None, :]
     norm = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)
-    s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.25)))
+    rad = _taylor_radius(L.dtype)
+    s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / rad)))
     s = jnp.minimum(s, float(unroll if unroll is not None else max_squarings))
     scale = 2.0 ** s
     A = A / scale[None, None, :]
@@ -701,20 +791,26 @@ def exponential_simulate_batched(system, params_b, t_eval,
 
             mega = prepare_scan_plan(system.rhs, seg_jb, seg_uidx, u_h,
                                      out_idx, len(out_idx))
-        L_pb = jax.vmap(blocks_one)(params_b)            # (P, Bu, N, w, w)
         # megakernel lane layout pads the protein axis to a multiple of 8
         # (member blocks must tile the lane axis); padded blocks are zero
         # -> E = I, p1 = h e0, and the padded state stays exactly 0
         Np = N if mega is None else mega["Npad"]
-        if Np != N:
-            L_pb = jnp.pad(L_pb, ((0, 0), (0, 0), (0, Np - N),
-                                  (0, 0), (0, 0)))
         # lane layout: batch (P*N) on the minor (lane) axis — a
         # (..., w, w) trailing layout tile-pads every tiny matrix to
         # (8, 128), a ~20x memory/bandwidth tax measured on the gathers
-        # in the segment scan.
-        L_lanes = jnp.transpose(L_pb, (1, 3, 4, 0, 2)).reshape(
-            len(bucket_uniq), w, w, P * Np)              # (Bu, w, w, PNp)
+        # in the segment scan. Models 0/1 assemble the blocks directly
+        # as lane planes (:func:`_linear_blocks_lanes`); the jvp
+        # fallback (model 2 unbucketed) pays the big transpose.
+        if topo.model in (0, 1):
+            L_lanes = _linear_blocks_lanes(system, params_b, bucket_uniq,
+                                           dtype, Np)
+        else:
+            L_pb = jax.vmap(blocks_one)(params_b)        # (P, Bu, N, w, w)
+            if Np != N:
+                L_pb = jnp.pad(L_pb, ((0, 0), (0, 0), (0, Np - N),
+                                      (0, 0), (0, 0)))
+            L_lanes = jnp.transpose(L_pb, (1, 3, 4, 0, 2)).reshape(
+                len(bucket_uniq), w, w, P * Np)          # (Bu, w, w, PNp)
         E_u, Phi1_u, Phi2_u = build_tables(L_lanes, w, P * Np)
         if mega is not None:
             ys, success = _run_scan_megakernel(system, params_b, mega, E_u,

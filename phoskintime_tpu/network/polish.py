@@ -192,22 +192,37 @@ def gradient_multistart(system, slices, loss_data, defaults, lambdas,
 
 def lm_refine(system, slices, loss_data, defaults, lambdas, time_grid,
               theta, xl, xu, *, iters: int = 15, cg_iters: int = 25,
-              mu0: float = 1e-2, y0=None, logger=None):
+              mu0: float = 1e-3, y0=None, logger=None,
+              jac_chunk: int = 256, gtol: float = 0.0, xtol: float = 0.0):
     """Levenberg-Marquardt refinement of ONE solution on the exact
-    residual vector (matrix-free Gauss-Newton, conjugate-gradient inner
-    solves).
+    residual vector, with an EXPLICIT Jacobian and f64 normal-equation
+    solves.
 
     The squared-loss objective is a genuine least-squares problem
-    (:func:`phoskintime_tpu.network.objective.make_residual_fn`), so
-    near an optimum a damped Gauss-Newton step converges far faster than
-    first-order descent: each LM iteration solves
-    ``(J^T J + mu I) d = -J^T r`` with CG where every matvec is one
-    jvp + vjp sweep of the full network integration — the Jacobian is
-    never materialized (n_var can be ~1e3, M ~1e4).
+    (:func:`phoskintime_tpu.network.objective.make_residual_fn`). The
+    Jacobian is built by batched forward-mode sweeps — ``n`` tangent
+    directions through the full network integration is the same batched
+    program shape as one pop-``n`` GA generation, i.e. cheap on this
+    stack (~one generation per relinearization) — and each LM step then
+    solves the damped normal equations EXACTLY on the host in float64
+    with Marquardt diagonal scaling:
 
-    Classic damping: accept lowers mu x0.3, reject raises x4. The
-    iterate is box-projected onto [xl, xu] after every step. Returns
-    (theta_refined, sse) — never worse than the input.
+        (J^T J + mu * diag(J^T J)) d = -J^T r
+
+    This replaces the round-3 matrix-free CG inner loop, which at 25
+    f32 matvecs could not outperform the Adam endpoint (VERDICT r3
+    item 2): truncated CG on an ill-conditioned JtJ (condition ~1e8 at
+    the north-star scale) makes no progress along the small-singular-
+    value directions that carry the remaining error, and f32 matvec
+    rounding floors the attainable residual. Exact f64 solves restore
+    the quadratic local convergence Gauss-Newton is for.
+
+    Damping: Nielsen's rho-based trust-region update (accept shrinks mu
+    by max(1/3, 1-(2 rho-1)^3), reject multiplies by a doubling nu).
+    The iterate is box-projected onto [xl, xu] after every step.
+    Returns (theta_refined, sse) — never worse than the input.
+
+    ``cg_iters`` is accepted for call compatibility and ignored.
 
     No reference counterpart at all (LSODA exposes no J^T J structure);
     anchor for intent: the reference's bound-zoom refinement
@@ -215,52 +230,80 @@ def lm_refine(system, slices, loss_data, defaults, lambdas, time_grid,
     """
     from phoskintime_tpu.network.objective import make_residual_fn
 
+    del cg_iters
     residuals = make_residual_fn(system, slices, loss_data, defaults,
                                  lambdas, time_grid, y0=y0)
-    xl_j = jnp.asarray(xl, jnp.float32)
-    xu_j = jnp.asarray(xu, jnp.float32)
+    wdt = system.rhs.W_pad.dtype
+    xl_h = np.asarray(xl, float)
+    xu_h = np.asarray(xu, float)
 
     @jax.jit
-    def sse(th):
-        r = residuals(th)
-        return jnp.sum(r * r)
+    def res_j(th):
+        return residuals(th)
+
+    n = int(np.asarray(theta).size)
+    chunk = max(1, min(jac_chunk, n))
 
     @jax.jit
-    def lm_step(th, mu):
-        r, vjp_fn = jax.vjp(residuals, th)
-        g = vjp_fn(r)[0]                      # J^T r
+    def jac_chunk_fn(th, V):
+        return jax.vmap(
+            lambda v: jax.jvp(residuals, (th,), (v,))[1])(V)   # (C, M)
 
-        def matvec(p):
-            _, Jp = jax.jvp(residuals, (th,), (p,))
-            return vjp_fn(Jp)[0] + mu * p     # (J^T J + mu I) p
+    def jacobian(th):
+        eye = np.eye(n, dtype=np.asarray(th).dtype)
+        rows = []
+        for c0 in range(0, n, chunk):
+            V = eye[c0:c0 + chunk]
+            if V.shape[0] < chunk:          # pad to the compiled shape
+                V = np.vstack([V, np.zeros((chunk - V.shape[0], n),
+                                           V.dtype)])
+            rows.append(np.asarray(jac_chunk_fn(th, jnp.asarray(V, wdt)),
+                                   np.float64)[: min(chunk, n - c0)])
+        return np.concatenate(rows, axis=0).T                  # (M, n)
 
-        def cg_body(carry, _):
-            d, res, p, rs = carry
-            Ap = matvec(p)
-            alpha = rs / jnp.maximum(jnp.dot(p, Ap), 1e-30)
-            d = d + alpha * p
-            res = res - alpha * Ap
-            rs_new = jnp.dot(res, res)
-            p = res + (rs_new / jnp.maximum(rs, 1e-30)) * p
-            return (d, res, p, rs_new), None
-
-        d0 = jnp.zeros_like(th)
-        (d, *_), _ = jax.lax.scan(cg_body, (d0, -g, -g, jnp.dot(g, g)),
-                                  None, length=cg_iters)
-        trial = jnp.clip(th + d, xl_j, xu_j)
-        return trial, jnp.sum(residuals(trial) ** 2)
-
-    th = jnp.asarray(np.asarray(theta), jnp.float32)
-    best = float(sse(th))
-    mu = mu0
+    th = np.asarray(theta, np.float64).copy()
+    r = np.asarray(res_j(jnp.asarray(th, wdt)), np.float64)
+    best = float(r @ r)
+    mu, nu = float(mu0), 2.0
+    J = None
     for it in range(iters):
-        trial, cost_t = lm_step(th, jnp.asarray(mu, jnp.float32))
-        cost_t = float(cost_t)
-        if np.isfinite(cost_t) and cost_t < best:
-            th, best = trial, cost_t
-            mu = max(mu * 0.3, 1e-8)
+        if J is None:
+            J = jacobian(th)
+            JtJ = J.T @ J
+            g = J.T @ r
+            D = np.diag(JtJ).copy()
+            D = np.maximum(D, 1e-12 * max(float(D.max()), 1e-30))
+        if gtol > 0.0 and float(np.max(np.abs(g))) < gtol:
+            break
+        A = JtJ + mu * np.diag(D)
+        try:
+            d = np.linalg.solve(A, -g)
+        except np.linalg.LinAlgError:
+            mu = min(mu * nu, 1e12)
+            nu *= 2.0
+            continue
+        trial = np.clip(th + d, xl_h, xu_h)
+        step = trial - th
+        r_t = np.asarray(res_j(jnp.asarray(trial, wdt)), np.float64)
+        cost_t = float(r_t @ r_t)
+        # predicted reduction of the quadratic model along the TAKEN
+        # (possibly clipped) step
+        pred = -(g @ step) - 0.5 * step @ (JtJ @ step)
+        rho = (best - cost_t) / max(pred, 1e-300)
+        if np.isfinite(cost_t) and cost_t < best and pred > 0:
+            th, best, r = trial, cost_t, r_t
+            J = None                          # relinearize at the new point
+            mu = mu * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            mu = max(mu, 1e-14)
+            nu = 2.0
+            if xtol > 0.0 and float(np.max(np.abs(step))) < xtol:
+                if logger is not None:
+                    logger.info(f"[LM] iter {it}: converged (step<{xtol})")
+                break
         else:
-            mu = min(mu * 4.0, 1e6)
+            mu = min(mu * nu, 1e12)
+            nu *= 2.0
         if logger is not None:
-            logger.info(f"[LM] iter {it}: sse={best:.6g} mu={mu:.2e}")
-    return np.asarray(th, float), best
+            logger.info(f"[LM] iter {it}: sse={best:.6g} mu={mu:.2e} "
+                        f"rho={rho:.3g}")
+    return th, best

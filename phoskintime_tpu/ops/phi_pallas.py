@@ -34,9 +34,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# pre-squaring Taylor radius 0.25 at 8 terms reaches ~4e-10 — beyond f32
+# pre-squaring Taylor radius 0.5 at 8 terms reaches ~5.4e-9 — beyond f32
+# (0.5^9/9!); the wider radius saves one squaring-ladder iteration for
+# EVERY lane vs the earlier 0.25 at identical Taylor cost
 _TAYLOR_TERMS = 8
-_RADIUS = 0.25
+_RADIUS = 0.5
 # ladder sizing: ||L h||_inf <= RATE_CAP * w * h for softplus-bounded rates
 _RATE_CAP = 32.0
 
@@ -116,16 +118,33 @@ def _phi_math(ladder: int, L, h):
     # per-lane masked — entirely in VMEM (this is the point of the
     # kernel). Masked lanes stop squaring at their own s, which also
     # protects their accuracy (every excess squaring doubles rounding).
+    #
+    # Runtime skip: `ladder` is the STATIC worst-case bound (rate-cap
+    # sizing, ~10x above real ||Lh||), but once every lane in the tile
+    # has reached its own s the remaining iterations are dead selects —
+    # each one is wrapped in a value-carrying cond on the tile-wide max
+    # need, so they cost one scalar predicate instead of a w^3 matmul.
+    # Measured on the decomp profile: static ladder 15 vs per-pair need
+    # 6-15 by plan, and per-LANE need far lower still (the cap
+    # overestimates the physical rates by ~10x).
     hc = hs
-    for i in range(ladder):
+    s_max = jnp.max(s)                               # scalar, this tile
+
+    def ladder_iter(i, carry):
+        E, p1, p2, hc = carry
         go = (float(i) < s)                          # (1, BLK)
         p2n = p2 + _mv(E, p2) + p1 * hc
         p1n = p1 + _mv(E, p1)
         En = _mm(E, E)
-        E = jnp.where(go[None], En, E)
-        p1 = jnp.where(go, p1n, p1)
-        p2 = jnp.where(go, p2n, p2)
-        hc = jnp.where(go, 2.0 * hc, hc)
+        return (jnp.where(go[None], En, E), jnp.where(go, p1n, p1),
+                jnp.where(go, p2n, p2), jnp.where(go, 2.0 * hc, hc))
+
+    carry = (E, p1, p2, hc)
+    for i in range(ladder):
+        carry = jax.lax.cond(float(i) < s_max,
+                             partial(ladder_iter, i),
+                             lambda c: c, carry)
+    E, p1, p2, _ = carry
 
     return E, p1, p2
 

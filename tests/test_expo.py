@@ -251,3 +251,39 @@ class TestReturnObservables:
     def test_megakernel(self):
         sys_, pj = make_system(0)
         self._check(sys_, pj, use_scan_kernel=True)
+
+
+class TestLinearBlocksLanes:
+    """The lane-native block assembly (models 0/1) must reproduce the
+    jvp/analytic builder exactly, including protein padding (Npad > N)."""
+
+    @pytest.mark.parametrize("model", [0, 1])
+    @pytest.mark.parametrize("npad_extra", [0, 3])
+    def test_matches_transpose_path(self, model, npad_extra):
+        import jax
+
+        from phoskintime_tpu.network.expo import (_block_linear_operators,
+                                                  _linear_blocks_lanes)
+
+        sys_, p = make_system(model=model)
+        topo = sys_.topo
+        N, w = topo.N, topo.width
+        Np = N + npad_extra
+        buckets = np.array([0, 3, 7], np.int32)
+        P = 4
+        rng = np.random.default_rng(5)
+        params_b = {k: jnp.asarray(
+            np.asarray(v)[None] * rng.uniform(0.5, 1.5, (P,) + (1,) * np.ndim(v)))
+            for k, v in p.items()}
+        dtype = sys_.rhs.W_pad.dtype
+
+        L_pb = jax.vmap(lambda pp: _block_linear_operators(
+            sys_, pp, buckets, dtype))(params_b)          # (P, Bu, N, w, w)
+        L_pb = jnp.pad(L_pb, ((0, 0), (0, 0), (0, Np - N), (0, 0), (0, 0)))
+        ref = jnp.transpose(L_pb, (1, 3, 4, 0, 2)).reshape(
+            len(buckets), w, w, P * Np)
+
+        out = _linear_blocks_lanes(sys_, params_b, buckets, dtype, Np)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-6, atol=1e-7)
