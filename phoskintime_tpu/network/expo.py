@@ -779,11 +779,15 @@ def exponential_simulate_batched(system, params_b, t_eval,
             tables.append(build_tables(Lc, wc, P * len(idx)))
     else:
         if use_scan_kernel is None:
-            # opt-in for now: the kernel itself beats the XLA scan (0.65 ms
-            # vs ~10 ms at pop 2048) but the padded-lane table build +
-            # pack/unpack around it currently cost more than the scan
-            # saves (46 vs 36 ms/sim device time at pop 2048) — auto flips
-            # on once the surrounding pipeline is paid down
+            # opt-in only: the round-4 decomposition profile (TPU v5e,
+            # synchronous timing) measured the kernel pallas_call itself
+            # at 24.9 ms @ pop 2048 / 91.2 ms @ 8192 — the XLA scan
+            # residual it replaces is ~3 ms @ 2048 (already at its HBM
+            # table-traffic roofline). The round-3 "0.65 ms" figure was
+            # an async-dispatch artifact. The kernel remains available
+            # for experimentation (True) and correctness-tested in
+            # interpret mode, but is not a production win at these
+            # shapes.
             use_scan_kernel = False
         mega = None
         if use_scan_kernel and not differentiable:

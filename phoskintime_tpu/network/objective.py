@@ -102,6 +102,45 @@ def make_objective(system, slices, loss_data, defaults, lambdas, time_grid,
     return objective
 
 
+def _dense_loss_tensors(loss_data, T: int, N: int, Smax: int):
+    """Scatter the pre-indexed observation table into DENSE (T, N[, S])
+    obs/weight tensors (weight 0 at holes, obs 1 to keep every robust
+    kernel finite there).
+
+    The reference's gather-based "fast loss data" (``global_model/
+    cache.py:19-155``) is the CPU-native design; on TPU the batched
+    gathers it induces ran at ~5 ms per pop-2048 objective call
+    (round-4 decomposition profile) because TPU gathers serialize.
+    Dense masked tensors make the whole loss elementwise. Returns None
+    when any (t, p[, s]) key is duplicated (replicate observations) —
+    callers then keep the gather path, whose sums handle duplicates.
+    """
+    import numpy as np
+
+    ld = loss_data
+
+    def dense(shape, t_idx, p_idx, s_idx, obs, w):
+        O = np.ones(shape, np.float64)
+        W = np.zeros(shape, np.float64)
+        idx = ((np.asarray(t_idx), np.asarray(p_idx))
+               if s_idx is None else
+               (np.asarray(t_idx), np.asarray(p_idx), np.asarray(s_idx)))
+        flat = np.ravel_multi_index(idx, shape)
+        if len(np.unique(flat)) != len(flat):
+            return None
+        O[idx] = np.asarray(obs, np.float64)
+        W[idx] = np.asarray(w, np.float64)
+        return O, W
+
+    d_p = dense((T, N), ld.t_prot, ld.p_prot, None, ld.obs_prot, ld.w_prot)
+    d_r = dense((T, N), ld.t_rna, ld.p_rna, None, ld.obs_rna, ld.w_rna)
+    d_ph = dense((T, N, Smax), ld.t_pho, ld.p_pho, ld.s_pho,
+                 ld.obs_pho, ld.w_pho)
+    if d_p is None or d_r is None or d_ph is None:
+        return None
+    return d_p, d_r, d_ph
+
+
 def make_population_objective(system, slices, loss_data, defaults, lambdas,
                               time_grid, loss_mode=0, fail_value=1e12,
                               y0=None, substep=16.0, use_pallas=None,
@@ -136,6 +175,12 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
     t_eval = jnp.asarray(time_grid)
     defaults_j = {k: jnp.asarray(v) for k, v in defaults.items()}
 
+    topo = system.topo
+    dense = _dense_loss_tensors(loss_data, int(t_eval.shape[0]), topo.N,
+                                topo.max_sites)
+    if dense is not None:
+        dense = tuple((jnp.asarray(O), jnp.asarray(W)) for O, W in dense)
+
     def objective_chunk(thetas):
         params_b = jax.vmap(
             lambda th: unpack_params(th, slices, system.topo))(thetas)
@@ -153,10 +198,26 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
             width_bucketing=width_bucketing,
             use_scan_kernel=use_scan_kernel)
 
+        ld = loss_data
+
         def losses_one(Y_flat):
             obs = extract_observables(system, Y_flat)
-            lp, lr, lph = modality_losses((obs.R, obs.TOT, obs.PHO),
-                                          loss_data, loss_mode)
+            if dense is not None:
+                lf = robust_loss(loss_mode)
+
+                def dl(sig, base_idx, OW):
+                    O, W = OW
+                    base = sig[base_idx][None]
+                    fc = jnp.maximum(sig, EPS) / jnp.maximum(base, EPS)
+                    diff = O - fc
+                    return jnp.sum(W * lf(diff, fc, O))
+
+                lp = dl(obs.TOT, ld.prot_base_idx, dense[0])
+                lr = dl(obs.R, ld.rna_base_idx, dense[1])
+                lph = dl(obs.PHO, ld.pho_base_idx, dense[2])
+            else:
+                lp, lr, lph = modality_losses((obs.R, obs.TOT, obs.PHO),
+                                              loss_data, loss_mode)
             return jnp.stack([lp * norm_p * lambdas["protein"],
                               lr * norm_r * lambdas["rna"],
                               lph * norm_ph * lambdas["phospho"]])

@@ -16,6 +16,18 @@ driven inputs into VMEM ONCE, then advances every segment with the state
 resident, writing only the T output snapshots. Total HBM traffic drops from
 ~S table-reads to exactly one.
 
+STATUS (round-4 measurement, TPU v5e, synchronous timing): the
+pallas_call itself runs 24.9 ms @ pop 2048 / 91.2 ms @ pop 8192 — far
+SLOWER than the XLA scan residual it replaces (~3 ms @ 2048, which the
+decomposition profile shows already sits on its HBM table-traffic
+roofline). The cost is the in-kernel compute pattern: S=133 sequential
+fori iterations of narrow (w=6 sublane) VPU work plus 2xD lane-roll
+chains per synthesis evaluation, with no cross-segment parallelism to
+hide latency. The earlier 0.65 ms figure (round 3) was measured without
+blocking on the result and timed only dispatch. Kept opt-in
+(`use_scan_kernel=True`) for experimentation; correctness is pinned in
+interpret mode by tests/test_pallas.py.
+
 The one cross-protein coupling — the TF drive v = (tfm @ P_vec) / tf_deg
 (reference ``global_model/network.py:379-383``) — is laid out so it needs no
 reshape and no matmul: lanes are ordered (member-major, protein-minor) with

@@ -6,6 +6,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded from the <5-min smoke run
+
 from phoskintime_tpu.cli import main as cli_main, parse_bound_pair
 
 CONFIG = """

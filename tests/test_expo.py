@@ -6,6 +6,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded from the <5-min smoke run
+
 from phoskintime_tpu.network import GlobalSystem, build_kinase_matrix, build_topology, default_params
 from phoskintime_tpu.network.expo import _phi_matrices, exponential_simulate
 from phoskintime_tpu.network.simulate import simulate

@@ -8,6 +8,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded from the <5-min smoke run
+
 from phoskintime_tpu.io.export import (
     create_convergence_video,
     export_S_rates,

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded from the <5-min smoke run
+
 from phoskintime_tpu.kinopt import (
     KinoptProblem,
     build_problem,

@@ -9,6 +9,8 @@ optimization quality on a standard multi-objective test problem.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded from the <5-min smoke run
+
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 

@@ -5,6 +5,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded from the <5-min smoke run
+
 from phoskintime_tpu.network import (
     GlobalSystem,
     build_kinase_matrix,
@@ -226,3 +228,52 @@ class TestAnalysisAndSensitivity:
         assert out.morris.mu_star.shape == (len(theta0),)
         assert np.all(np.isfinite(out.morris.mu_star))
         assert out.fc_clouds["protein"].shape[0] == 3
+
+
+class TestDenseLossPath:
+    """The dense masked-tensor loss (round 4) must agree with the gather
+    path exactly and fall back to gathers on duplicate observation keys."""
+
+    def _setup(self):
+        sys, topo, true, dfp, dfr, dfph, ld, grid = tiny_problem()
+        defaults = default_params(topo)
+        bounds = {"c_k": (1e-3, 4.0), "A_i": (1e-3, 4.0), "B_i": (1e-3, 4.0),
+                  "C_i": (1e-3, 4.0), "D_i": (1e-3, 4.0), "Dp_i": (0.05, 5.0),
+                  "E_i": (1e-4, 4.0), "tf_scale": (0.5, 6.0)}
+        theta0, slices, xl, xu = init_raw_params(defaults, topo, bounds)
+        lambdas = {"protein": 1.0, "rna": 1.0, "phospho": 1.0, "prior": 0.1}
+        return sys, topo, ld, grid, defaults, theta0, slices, lambdas
+
+    def test_dense_equals_gather(self, monkeypatch):
+        import phoskintime_tpu.network.objective as objmod
+
+        sys, topo, ld, grid, defaults, theta0, slices, lambdas = self._setup()
+        dense = objmod._dense_loss_tensors(ld, len(grid), topo.N,
+                                           topo.max_sites)
+        assert dense is not None
+        thetas = jnp.asarray(
+            theta0[None]
+            + 0.05 * np.random.default_rng(0).normal(size=(8, len(theta0))))
+        F_dense = np.asarray(objmod.make_population_objective(
+            sys, slices, ld, defaults, lambdas, grid)(thetas))
+        monkeypatch.setattr(objmod, "_dense_loss_tensors",
+                            lambda *a, **k: None)
+        F_gather = np.asarray(objmod.make_population_objective(
+            sys, slices, ld, defaults, lambdas, grid)(thetas))
+        np.testing.assert_allclose(F_dense, F_gather, rtol=5e-6)
+
+    def test_duplicate_keys_fall_back(self):
+        from phoskintime_tpu.network.objective import _dense_loss_tensors
+
+        sys, topo, ld, grid, *_ = self._setup()
+        dup = ld._replace(
+            t_prot=np.concatenate([np.asarray(ld.t_prot),
+                                   np.asarray(ld.t_prot[:1])]),
+            p_prot=np.concatenate([np.asarray(ld.p_prot),
+                                   np.asarray(ld.p_prot[:1])]),
+            obs_prot=np.concatenate([np.asarray(ld.obs_prot),
+                                     np.asarray(ld.obs_prot[:1])]),
+            w_prot=np.concatenate([np.asarray(ld.w_prot),
+                                   np.asarray(ld.w_prot[:1])]))
+        assert _dense_loss_tensors(dup, len(grid), topo.N,
+                                   topo.max_sites) is None

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded from the <5-min smoke run
+
 from tests.test_optimize import GRID, RNA_GRID, tiny_problem
 
 from phoskintime_tpu.network import default_params, init_raw_params
