@@ -421,11 +421,12 @@ def _observable_recovery(b, theta_best):
                                                   fold_changes)
 
     system = b["system"]
+    wdt = system.rhs.W_pad.dtype         # follow the system (f64 in parity mode)
     times = np.asarray(b["grid"], float)
-    fit_p = unpack_params(jnp.asarray(theta_best, jnp.float32), b["slices"],
+    fit_p = unpack_params(jnp.asarray(theta_best, wdt), b["slices"],
                           b["topo"])
-    both = {k: jnp.stack([jnp.asarray(b["true"][k], jnp.float32),
-                          jnp.asarray(v, jnp.float32)])
+    both = {k: jnp.stack([jnp.asarray(b["true"][k], wdt),
+                          jnp.asarray(v, wdt)])
             for k, v in fit_p.items()}
     ys, success = exponential_simulate_batched(system, both, times)
     assert bool(np.all(np.asarray(success))), \

@@ -1,0 +1,182 @@
+"""Parameter-recovery experiment at north-star scale (synthetic truth).
+
+BASELINE.md's north star names "matching reference parameters to 1e-6
+rtol". Parameters of a sloppy systems-biology network model are only
+determined by the data along the IDENTIFIABLE directions of the
+Gauss-Newton J^T J at the truth (cond ~1e8 at this scale: moving along
+small-singular-value directions changes the residual below solver
+tolerance, so NO optimizer — the reference's included — can pin them).
+This experiment therefore reports, at every stage of the production fit
+ladder (GA -> bounded-Adam polish -> exact-Jacobian LM finish):
+
+  * observable median/p90 relative error (what the data constrains),
+  * per-direction error in the identifiable subspace of J(theta*):
+    proj_k = |v_k . (theta - theta*)| / (1 + |v_k . theta*|) over
+    singular directions with sigma_k >= tau * sigma_max (tau 1e-4 ~
+    eigenvalue 1e-8; the table also reports the tau=1e-2 "strongly
+    identifiable" tier) — the same convention docs/PARITY.md pins
+    per-gene at f64.
+
+Run on the real TPU (production f32 path):   python benchmarks/param_recovery.py
+Small-scale f64-CPU variant (the 1e-6 capability proof):
+    JAX_PLATFORMS=cpu python benchmarks/param_recovery.py --small
+
+Reference anchor: the reference's best refinement tool is bound-zoom
+re-sampling (``global_model/refine.py:32-357``); it has no gradient or
+Gauss-Newton stage at all (LSODA is not differentiable), so this ladder
+has no reference counterpart beyond stage 0.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def identifiable_basis(b, theta_star, jac_chunk=256):
+    """SVD of the GN Jacobian at the truth -> (sigma, V) in raw space."""
+    import jax
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.network.objective import make_residual_fn
+
+    residuals = make_residual_fn(b["system"], b["slices"], b["loss_data"],
+                                 b["defaults"], b["lambdas"], b["grid"])
+    wdt = b["system"].rhs.W_pad.dtype
+    n = theta_star.size
+    chunk = max(1, min(jac_chunk, n))
+
+    @jax.jit
+    def jac_chunk_fn(th, V):
+        return jax.vmap(lambda v: jax.jvp(residuals, (th,), (v,))[1])(V)
+
+    eye = np.eye(n, dtype=np.asarray(theta_star).dtype)
+    th_j = jnp.asarray(theta_star, wdt)
+    rows = []
+    for c0 in range(0, n, chunk):
+        V = eye[c0:c0 + chunk]
+        if V.shape[0] < chunk:
+            V = np.vstack([V, np.zeros((chunk - V.shape[0], n), V.dtype)])
+        rows.append(np.asarray(jac_chunk_fn(th_j, jnp.asarray(V, wdt)),
+                               np.float64)[: min(chunk, n - c0)])
+    J = np.concatenate(rows, axis=0).T            # (M, n)
+    _, sig, Vt = np.linalg.svd(J, full_matrices=False)
+    return sig, Vt.T                               # V columns = directions
+
+
+def stage_metrics(name, b, theta, sig, V, theta_star, extra=None):
+    """One JSON line: observable + identifiable-subspace errors."""
+    from benchmarks.bench_suite import _observable_recovery
+
+    d = np.asarray(theta, np.float64) - theta_star
+    proj = np.abs(V.T @ d) / (1.0 + np.abs(V.T @ theta_star))
+    obs = _observable_recovery(b, theta)
+    out = {"stage": name,
+           "observable_median_rel_err": float(f"{np.median(obs):.4g}"),
+           "observable_p90_rel_err":
+               float(f"{np.percentile(obs, 90):.4g}")}
+    for tau, tag in [(1e-2, "strong"), (1e-4, "ident")]:
+        m = sig >= tau * sig[0]
+        out[f"{tag}_n"] = int(m.sum())
+        out[f"{tag}_median_rel_err"] = float(f"{np.median(proj[m]):.4g}")
+        out[f"{tag}_max_rel_err"] = float(f"{np.max(proj[m]):.4g}")
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="N=40 f64-capable scale (run with JAX_PLATFORMS=cpu "
+                         "and x64 for the 1e-6 capability proof)")
+    ap.add_argument("--gens", type=int, default=400)
+    ap.add_argument("--pop", type=int, default=384)
+    ap.add_argument("--polish-steps", type=int, default=600)
+    ap.add_argument("--lm-iters", type=int, default=40)
+    args = ap.parse_args()
+
+    if args.small:
+        # the execution environment preloads jax on the TPU tunnel; env
+        # vars are too late — force the platform before first backend use
+        # (same trick as tests/conftest.py)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from phoskintime_tpu.demo import build_demo_network
+    from phoskintime_tpu.network.optimize import run_global_fit
+    from phoskintime_tpu.network.polish import (lm_refine, polish_solutions,
+                                                simplex_weights)
+    from phoskintime_tpu.parallel.profile import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.small:
+        b = build_demo_network(n_proteins=40, n_kinases=12, seed=0)
+        n_gen = min(args.gens, 200)
+    else:
+        b = build_demo_network(n_proteins=150, n_kinases=24, seed=1)
+        n_gen = args.gens
+    theta_star = np.asarray(b["theta_true"], np.float64)
+    n_var = theta_star.size
+
+    t0 = time.perf_counter()
+    sig, V = identifiable_basis(b, theta_star)
+    print(json.dumps({"stage": "jacobian_at_truth", "n_var": n_var,
+                      "n_residuals": "svd", "cond": float(f"{sig[0] / sig[-1]:.4g}"),
+                      "sigma_max": float(f"{sig[0]:.4g}"),
+                      "n_ident_1e-4": int((sig >= 1e-4 * sig[0]).sum()),
+                      "n_strong_1e-2": int((sig >= 1e-2 * sig[0]).sum()),
+                      "wall_s": round(time.perf_counter() - t0, 1)}),
+          flush=True)
+
+    # ---- stage 0: converged UNSGA3 ------------------------------------
+    t0 = time.perf_counter()
+    res = run_global_fit(b["system"], b["slices"], b["loss_data"],
+                         b["defaults"], b["lambdas"], b["grid"],
+                         b["xl"], b["xu"], pop=args.pop, n_gen=n_gen,
+                         seed=0, ftol=0.001, ftol_period=25,
+                         n_max_evals=200_000, frechet_pick=False)
+    ga_wall = time.perf_counter() - t0
+    best = res.pareto_X[np.argmin(res.pareto_F.sum(axis=1))]
+    stage_metrics("0_ga", b, best, sig, V, theta_star,
+                  {"wall_s": round(ga_wall, 1), "n_evals": int(res.n_evals)})
+
+    # ---- stage 1: bounded-Adam polish of the Pareto set ---------------
+    t0 = time.perf_counter()
+    pX, pF = polish_solutions(b["system"], b["slices"], b["loss_data"],
+                              b["defaults"], b["lambdas"], b["grid"],
+                              res.pareto_X, b["xl"], b["xu"],
+                              weights=simplex_weights(res.pareto_F),
+                              steps=args.polish_steps, chunk=128)
+    pbest = pX[np.argmin(np.asarray(pF).sum(axis=1))]
+    stage_metrics("1_adam_polish", b, pbest, sig, V, theta_star,
+                  {"wall_s": round(time.perf_counter() - t0, 1),
+                   "steps": args.polish_steps})
+
+    # ---- stage 2: exact-Jacobian LM finish -----------------------------
+    t0 = time.perf_counter()
+    th_lm, sse = lm_refine(b["system"], b["slices"], b["loss_data"],
+                           b["defaults"], b["lambdas"], b["grid"],
+                           pbest, b["xl"], b["xu"], iters=args.lm_iters)
+    stage_metrics("2_lm_finish", b, th_lm, sig, V, theta_star,
+                  {"wall_s": round(time.perf_counter() - t0, 1),
+                   "sse": float(f"{sse:.6g}"), "iters": args.lm_iters})
+
+    # floor reference: the truth itself through the same metrics (its
+    # "error" is the f32 integration/measurement noise floor)
+    r_star = None
+    stage_metrics("floor_truth", b, theta_star, sig, V, theta_star,
+                  {"note": "theta* through the same pipeline: the"
+                           " dtype/integrator noise floor"} if r_star is None
+                  else None)
+
+
+if __name__ == "__main__":
+    main()

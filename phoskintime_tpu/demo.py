@@ -81,10 +81,14 @@ def build_demo_network(n_proteins: int = 40, n_kinases: int = 12,
               "C_i": (1e-3, 4.0), "D_i": (1e-3, 4.0), "Dp_i": (0.05, 5.0),
               "E_i": (1e-4, 4.0), "tf_scale": (0.5, 6.0)}
     theta0, slices, xl, xu = init_raw_params(defaults, topo, bounds)
+    # raw-space (inverse-softplus) packing of the synthetic truth — the
+    # exact point the recovery experiments measure distance to
+    theta_true, _, _, _ = init_raw_params(true, topo, bounds)
 
     return dict(system=system, topo=topo, true=true, df_prot=dfp, df_rna=dfr,
                 df_pho=dfph, loss_data=loss_data, grid=grid,
                 defaults=defaults, theta0=np.asarray(theta0, dtype),
+                theta_true=np.asarray(theta_true, float),
                 slices=slices, xl=xl, xu=xu,
                 lambdas={"protein": 1.0, "rna": 1.0, "phospho": 1.0,
                          "prior": 0.1})

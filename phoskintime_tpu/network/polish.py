@@ -251,13 +251,14 @@ def lm_refine(system, slices, loss_data, defaults, lambdas, time_grid,
 
     def jacobian(th):
         eye = np.eye(n, dtype=np.asarray(th).dtype)
+        th_j = jnp.asarray(th, wdt)       # primal dtype must match tangents
         rows = []
         for c0 in range(0, n, chunk):
             V = eye[c0:c0 + chunk]
             if V.shape[0] < chunk:          # pad to the compiled shape
                 V = np.vstack([V, np.zeros((chunk - V.shape[0], n),
                                            V.dtype)])
-            rows.append(np.asarray(jac_chunk_fn(th, jnp.asarray(V, wdt)),
+            rows.append(np.asarray(jac_chunk_fn(th_j, jnp.asarray(V, wdt)),
                                    np.float64)[: min(chunk, n - c0)])
         return np.concatenate(rows, axis=0).T                  # (M, n)
 
