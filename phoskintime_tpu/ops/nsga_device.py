@@ -16,8 +16,10 @@ rank, niche, nd) never leaves the device between dispatches; the host
 sees only the tiny per-generation ideal/mean history, so dispatch
 latency and host time amortize by the block length. Under a
 ``jax.sharding.Mesh`` the population axis stays sharded through variation
-and evaluation; the (2P, 2P) dominance matrix and niching run replicated
-(P is a few hundred; the objective dominates).
+and evaluation, and the (2P, 2P) dominance ranking runs COLUMN-SHARDED
+across devices (see :func:`device_nd_ranks`) so the north-star 10k-member
+ensemble ranks at 1/n_dev memory/bandwidth per device; the O(P) niche
+bookkeeping vectors stay replicated (they are tiny).
 
 Reference anchor: pymoo UNSGA3 semantics as configured by
 ``global_model/runner.py:663-702`` (same operator distributions and
@@ -100,25 +102,42 @@ def variation_kernel(X, rank, nd, key, xl_j, xu_j, *, pop_size: int,
 # on-device environmental selection
 # ---------------------------------------------------------------------------
 
-def device_nd_ranks(F):
+def device_nd_ranks(F, mesh=None):
     """Non-dominated front index per row, on device.
 
     Uses the longest-dominator-chain identity: front(j) = max over
     dominators i of front(i)+1 (0 if none) — a max-plus fixpoint that
     converges in #fronts iterations of one masked (Q, Q) reduction,
-    instead of the host's sequential front peeling."""
+    instead of the host's sequential front peeling.
+
+    With ``mesh`` (a Mesh with a "pop" axis) the (Q, Q) dominance matrix
+    is COLUMN-sharded across devices — each device owns dom[:, local] and
+    updates the ranks of its own column block; only the (Q,) rank vector
+    crosses the ICI per fixpoint iteration (an all-gather of 4Q bytes).
+    Semantics are exactly the replicated computation's; this is what lets
+    the all-device GA rank the north-star 10k-member ensemble (a (20k)^2
+    matrix) at 1/n_dev of the memory and bandwidth per device
+    (VERDICT r3 item 3)."""
     import jax.numpy as jnp
     from jax import lax
 
     le = jnp.all(F[:, None, :] <= F[None, :, :], axis=-1)
     lt = jnp.any(F[:, None, :] < F[None, :, :], axis=-1)
     dom = le & lt                                  # dom[i, j]: i dominates j
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        dom = lax.with_sharding_constraint(
+            dom, NamedSharding(mesh, Pspec(None, "pop")))
 
     def cond(st):
         return st[1]
 
     def body(st):
         r, _ = st
+        # column block j reads the FULL r (broadcast over rows) and
+        # writes r[j]: under the column sharding each device reduces its
+        # own (Q, Q/n_dev) block; XLA all-gathers the (Q,) result
         nr = jnp.max(jnp.where(dom, r[:, None] + 1, 0), axis=0)
         return nr, jnp.any(nr != r)
 
@@ -159,7 +178,8 @@ def _device_associate(Fn, unit_refs):
     return niche, jnp.take_along_axis(dist, niche[:, None], axis=1)[:, 0]
 
 
-def device_survival(X_all, F_all, n_survive: int, unit_refs, key):
+def device_survival(X_all, F_all, n_survive: int, unit_refs, key,
+                    mesh=None):
     """NSGA-III environmental selection, fully on device.
 
     Exact sequential niche-filling (pymoo semantics: min-count niche
@@ -174,7 +194,7 @@ def device_survival(X_all, F_all, n_survive: int, unit_refs, key):
 
     Q = F_all.shape[0]
     R = unit_refs.shape[0]
-    rank = device_nd_ranks(F_all)
+    rank = device_nd_ranks(F_all, mesh=mesh)
     Fn = _device_normalize(F_all)
     niche, nd = _device_associate(Fn, unit_refs)
 
@@ -251,14 +271,14 @@ def device_crowding(F, rank):
     return crowd
 
 
-def device_nsga2_survival(X_all, F_all, n_survive: int):
+def device_nsga2_survival(X_all, F_all, n_survive: int, mesh=None):
     """NSGA-II environmental selection on device: (rank asc, crowd desc).
 
     Matches :func:`nsga.nsga2_survival` semantics; picks among
     equal-(rank, crowd) members may differ by sort order."""
     import jax.numpy as jnp
 
-    rank = device_nd_ranks(F_all)
+    rank = device_nd_ranks(F_all, mesh=mesh)
     crowd = device_crowding(F_all, rank)
     order = jnp.lexsort((-crowd, rank))          # rank primary, crowd desc
     idx = order[:n_survive]
@@ -312,7 +332,8 @@ def run_nsga2_device(pop_objective, xl, xu, *, pop_size: int = 100,
             F_off = eval_all(off)
             X2 = jnp.concatenate([X, off])
             F2 = jnp.concatenate([F, F_off])
-            X, F, rank, crowd = device_nsga2_survival(X2, F2, pop_size)
+            X, F, rank, crowd = device_nsga2_survival(X2, F2, pop_size,
+                                                      mesh=mesh)
             return (X, F, rank, crowd), (jnp.min(F, axis=0),
                                          jnp.mean(F, axis=0))
 
@@ -325,7 +346,7 @@ def run_nsga2_device(pop_objective, xl, xu, *, pop_size: int = 100,
         X0 = jnp.asarray(X0, f32)
         if repair_fn is not None:
             X0 = repair_fn(X0)
-        return device_nsga2_survival(X0, eval_all(X0), pop_size)
+        return device_nsga2_survival(X0, eval_all(X0), pop_size, mesh=mesh)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -412,7 +433,7 @@ def make_device_ga_blocks(pop_objective, n_var: int, pop_size: int, *,
             X2 = jnp.concatenate([X, off])
             F2 = jnp.concatenate([F, F_off])
             X, F, rank, niche, nd = device_survival(X2, F2, pop_size, unit,
-                                                    ks)
+                                                    ks, mesh=mesh)
             return (X, F, rank, niche, nd), (jnp.min(F, axis=0),
                                              jnp.mean(F, axis=0))
 
@@ -427,7 +448,7 @@ def make_device_ga_blocks(pop_objective, n_var: int, pop_size: int, *,
         # survival over the initial pop itself (keeps everything) computes
         # rank/niche/nd in one pass with the same machinery
         key = jax.random.PRNGKey(0)
-        return device_survival(X0, F0, pop_size, unit, key)
+        return device_survival(X0, F0, pop_size, unit, key, mesh=mesh)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
