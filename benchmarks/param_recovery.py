@@ -104,8 +104,16 @@ def main():
                          "and x64 for the 1e-6 capability proof)")
     ap.add_argument("--gens", type=int, default=400)
     ap.add_argument("--pop", type=int, default=384)
+    ap.add_argument("--gens-per-dispatch", type=int, default=1,
+                    help=">1 routes the GA through the all-device loop "
+                         "(required for the 10k-ensemble north-star arm; "
+                         "ranking is the column-shardable fixpoint)")
     ap.add_argument("--polish-steps", type=int, default=600)
     ap.add_argument("--lm-iters", type=int, default=40)
+    ap.add_argument("--lm-starts", type=int, default=1,
+                    help="LM multistart: finish from the top-K polished "
+                         "members by scalarized F (distinct basins), "
+                         "keep the best SSE")
     ap.add_argument("--prior", type=float, default=0.0,
                     help="prior-adherence weight. MUST be 0 for a recovery "
                          "experiment: the production default 0.1 pulls the "
@@ -156,7 +164,9 @@ def main():
                          b["defaults"], b["lambdas"], b["grid"],
                          b["xl"], b["xu"], pop=args.pop, n_gen=n_gen,
                          seed=0, ftol=0.001, ftol_period=25,
-                         n_max_evals=200_000, frechet_pick=False)
+                         n_max_evals=max(200_000, args.pop * n_gen // 2),
+                         frechet_pick=False,
+                         gens_per_dispatch=args.gens_per_dispatch)
     ga_wall = time.perf_counter() - t0
     best = res.pareto_X[np.argmin(res.pareto_F.sum(axis=1))]
     stage_metrics("0_ga", b, best, sig, V, theta_star,
@@ -174,14 +184,22 @@ def main():
                   {"wall_s": round(time.perf_counter() - t0, 1),
                    "steps": args.polish_steps})
 
-    # ---- stage 2: exact-Jacobian LM finish -----------------------------
+    # ---- stage 2: exact-Jacobian LM finish (multistart over basins) ----
     t0 = time.perf_counter()
-    th_lm, sse = lm_refine(b["system"], b["slices"], b["loss_data"],
-                           b["defaults"], b["lambdas"], b["grid"],
-                           pbest, b["xl"], b["xu"], iters=args.lm_iters)
+    pXa = np.asarray(pX)
+    order = np.argsort(np.asarray(pF).sum(axis=1))
+    starts = pXa[order[: max(1, args.lm_starts)]]
+    th_lm, sse = None, np.inf
+    for k, th0 in enumerate(starts):
+        th_k, sse_k = lm_refine(b["system"], b["slices"], b["loss_data"],
+                                b["defaults"], b["lambdas"], b["grid"],
+                                th0, b["xl"], b["xu"], iters=args.lm_iters)
+        if sse_k < sse:
+            th_lm, sse = th_k, sse_k
     stage_metrics("2_lm_finish", b, th_lm, sig, V, theta_star,
                   {"wall_s": round(time.perf_counter() - t0, 1),
-                   "sse": float(f"{sse:.6g}"), "iters": args.lm_iters})
+                   "sse": float(f"{sse:.6g}"), "iters": args.lm_iters,
+                   "starts": int(len(starts))})
 
     # floor reference: the truth itself through the same metrics (its
     # "error" is the dtype/integrator noise floor)

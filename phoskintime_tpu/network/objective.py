@@ -141,10 +141,25 @@ def _dense_loss_tensors(loss_data, T: int, N: int, Smax: int):
     return d_p, d_r, d_ph
 
 
+def _auto_pop_chunk(n_proteins: int, lanes_target: int = 81920) -> int:
+    """Population chunk size holding ~``lanes_target`` ODE lanes (P*N).
+
+    The batched integrator's working set — propagator tables
+    (U, w, w, P*N) plus the scanned state — scales with the LANE count,
+    so the HBM-resident sweet spot is a lane budget, not a member count.
+    Measured on the v5e (round 4): N=40 peaks at chunk 2048 (82k lanes,
+    65.1k evals/s vs 57.4k unchunked at pop 8192); N=150 is flat within
+    noise over chunks 512-1000 and collapses 19x unchunked at pop 10k."""
+    import math
+
+    return min(8192, max(256, 2 ** round(
+        math.log2(max(1.0, lanes_target / max(1, n_proteins))))))
+
+
 def make_population_objective(system, slices, loss_data, defaults, lambdas,
                               time_grid, loss_mode=0, fail_value=1e12,
                               y0=None, substep=16.0, use_pallas=None,
-                              differentiable=False, pop_chunk=8192,
+                              differentiable=False, pop_chunk="auto",
                               width_bucketing=None, use_scan_kernel=None):
     """Natively-batched objective: thetas (P, n) -> F (P, 3), using the
     exponential (ETD2RK) integrator's flat-batch fast path.
@@ -156,11 +171,14 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
     the gradient polish stage requires it.
 
     ``pop_chunk``: populations larger than this run as a ``lax.map`` over
-    chunks of exactly this size (when divisible). The propagator tables
-    are (U, w, w, P*N); past ~8k candidates they spill the scan's working
-    set out of the v5e's useful HBM bandwidth window (58k evals/s @ 8192
-    -> 38k @ 32768, RESULTS_r2) — chunking holds every chunk at the peak
-    rate with one compiled program. None disables chunking.
+    equal chunks (tail padded with the last row, results sliced away).
+    The propagator tables are (U, w, w, P*N), so the scan's working set
+    scales with the LANE count P*N, not P — past the v5e's HBM bandwidth
+    window throughput collapses (measured r4: N=150 pop 10k unchunked
+    1.2k evals/s vs 23k at chunk 1000; N=40 pop 8192 57.4k unchunked vs
+    65.1k at chunk 2048). ``"auto"`` (default) sizes the chunk to hold
+    ~80k lanes: the measured peak at both N=40 (chunk 2048) and N=150
+    (chunks 512-1000 within noise). None disables chunking.
 
     ``width_bucketing`` forwards to
     :func:`~phoskintime_tpu.network.expo.exponential_simulate_batched`
@@ -176,6 +194,8 @@ def make_population_objective(system, slices, loss_data, defaults, lambdas,
     defaults_j = {k: jnp.asarray(v) for k, v in defaults.items()}
 
     topo = system.topo
+    if isinstance(pop_chunk, str):               # "auto"
+        pop_chunk = _auto_pop_chunk(topo.N)
     dense = _dense_loss_tensors(loss_data, int(t_eval.shape[0]), topo.N,
                                 topo.max_sites)
     if dense is not None:

@@ -492,3 +492,15 @@ class TestShardedExpoObjective:
         F13 = np.asarray(obj_chunk(pop13))
         np.testing.assert_allclose(F13[:12], F_full, rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(F13[12], F_full[0], rtol=1e-6, atol=1e-8)
+
+
+class TestAutoPopChunk:
+    def test_lane_budget_rule(self):
+        """auto pop_chunk = pow2 chunk holding ~80k ODE lanes, clamped
+        to [256, 8192] (measured v5e peaks: N=40 -> 2048, N=150 -> 512)."""
+        from phoskintime_tpu.network.objective import _auto_pop_chunk
+
+        assert _auto_pop_chunk(40) == 2048
+        assert _auto_pop_chunk(150) == 512
+        assert _auto_pop_chunk(1) == 8192          # upper clamp
+        assert _auto_pop_chunk(100_000) == 256     # lower clamp
