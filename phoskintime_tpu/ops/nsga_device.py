@@ -182,12 +182,23 @@ def device_survival(X_all, F_all, n_survive: int, unit_refs, key,
                     mesh=None):
     """NSGA-III environmental selection, fully on device.
 
-    Exact sequential niche-filling (pymoo semantics: min-count niche
-    pool; min-perpendicular-distance pick for empty niches, uniform
-    random otherwise) as a `lax.fori_loop` — ``n_survive`` iterations of
-    O(Q) masked reductions, gated by how many slots the splitting front
-    actually owes. Returns (X, F, rank, niche, nd) of the survivors,
-    ordered by front."""
+    Niche-filling follows pymoo's sequential semantics — repeatedly pick
+    from the splitting front the candidate whose niche currently holds
+    the fewest survivors (min-perpendicular-distance pick for empty
+    niches, uniform random otherwise) — but is computed BATCHED via the
+    water-filling identity: serving min-count niches one at a time is
+    equivalent to raising a global fill level T, where niche j (initial
+    count c_j, a_j candidates) absorbs k_j(T) = min(a_j, max(0, T-c_j))
+    members. A 32-step binary search finds the level at which the front
+    owes its last slot, the partial top level is ordered by per-niche
+    min-nd (level 0) or uniformly at random (levels >=1), and the
+    within-niche members are chosen by one segmented sort. This replaces
+    the former `lax.while_loop` of ``need`` sequential O(Q) steps —
+    1.66 s/generation at the north-star pop 10k worst case (everything
+    rank 0), vs ~3 ms batched — with the identical survivor SET on the
+    deterministic empty-niche path (pinned by
+    tests/test_nsga_device.py::test_matches_host_when_deterministic).
+    Returns (X, F, rank, niche, nd) of the survivors, ordered by front."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -208,29 +219,55 @@ def device_survival(X_all, F_all, n_survive: int, unit_refs, key,
     cand = rank == L
 
     counts = jnp.bincount(jnp.where(keep, niche, R), length=R + 1)[:R]
-    BIG = jnp.asarray(4 * Q, counts.dtype)
+    avail = jnp.bincount(jnp.where(cand, niche, R), length=R + 1)[:R]
 
-    def cond(st):
-        return st[0] < need
+    # ---- water-filling level: minimal T with K(T) >= need -------------
+    def K(t):
+        return jnp.sum(jnp.minimum(avail, jnp.maximum(0, t - counts)))
 
-    def body(st):
-        i, counts, selected, key = st
-        key, kq = jax.random.split(key)
-        alive = cand & ~selected
-        cc = jnp.where(alive, counts[niche], BIG)
-        mc = jnp.min(cc)
-        pool = cc == mc
-        pick_nd = jnp.argmin(jnp.where(pool, nd, jnp.inf))
-        u = jax.random.uniform(kq, (Q,))
-        pick_rand = jnp.argmax(jnp.where(pool, u, -1.0))
-        pick = jnp.where(mc == 0, pick_nd, pick_rand)
-        selected = selected.at[pick].set(True)
-        counts = counts.at[niche[pick]].add(1)
-        return i + 1, counts, selected, key
+    hi0 = jnp.max(counts) + jnp.asarray(Q + 1, counts.dtype)
 
-    selected = jnp.zeros(Q, bool)
-    _, _, selected, _ = lax.while_loop(
-        cond, body, (jnp.asarray(0, need.dtype), counts, selected, key))
+    def bs_body(_, lo_hi):
+        lo, hi = lo_hi
+        mid = (lo + hi) // 2
+        ge = K(mid) >= need
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    _, T = lax.fori_loop(0, 32, bs_body,
+                         (jnp.zeros((), counts.dtype), hi0))
+
+    # full levels below T-1, plus a partial pass at level T-1 that serves
+    # only the first `rem` of the niches still holding candidates there
+    k_full = jnp.minimum(avail, jnp.maximum(0, (T - 1) - counts))
+    rem = need - jnp.sum(k_full)
+    eligible = (counts <= T - 1) & (counts + avail > T - 1)
+
+    key, k_n, k_c = jax.random.split(key, 3)
+    idxs = jnp.arange(Q)
+    ids = jnp.where(cand, niche, R)                  # candidates by niche
+    niche_min_nd = jax.ops.segment_min(nd, ids, num_segments=R + 1)[:R]
+    part_score = jnp.where(T == 1, niche_min_nd,
+                           jax.random.uniform(k_n, (R,), nd.dtype))
+    score = jnp.where(eligible, part_score, jnp.inf)
+    niche_pos = jnp.argsort(jnp.argsort(score))
+    k = k_full + (eligible & (niche_pos < rem)).astype(k_full.dtype)
+
+    # within-niche members: the first pick from an initially-empty niche
+    # is its min-nd candidate (priority -1); the rest are uniform random
+    first_idx = jax.ops.segment_min(
+        jnp.where(cand & (nd == niche_min_nd[niche]), idxs, Q),
+        ids, num_segments=R + 1)[:R]
+    is_first = cand & (idxs == first_idx[niche])
+    prio = jnp.where(is_first & (counts[niche] == 0),
+                     jnp.asarray(-1.0, nd.dtype),
+                     jax.random.uniform(k_c, (Q,), nd.dtype))
+    order_c = jnp.lexsort((prio, ids))               # non-candidates last
+    ids_s = ids[order_c]
+    starts = jnp.searchsorted(ids_s, jnp.arange(R + 1))
+    pos_in = idxs - starts[ids_s]
+    k_pad = jnp.concatenate([k, jnp.zeros(1, k.dtype)])
+    sel_s = (ids_s < R) & (pos_in < k_pad[ids_s])
+    selected = jnp.zeros(Q, bool).at[order_c].set(sel_s)
     keep_all = keep | selected
     order = jnp.argsort(jnp.where(keep_all, rank, Q + 1), stable=True)
     idx = order[:n_survive]
