@@ -267,6 +267,15 @@ def main(cfg: PhosKinConfig, mesh=None, out_dir=None,
     export_global_knockout_explorer(
         system, params_best,
         os.path.join(out_dir, "influence", "global_knockouts.html"))
+    # live slider-driven re-simulation (reference compare_mechanisms.py's
+    # Streamlit interactivity, serverless): perturbation scales, horizon
+    # and per-protein parameter edits re-solve the network in-browser
+    from phoskintime_tpu.report.live_model import write_live_model_explorer
+
+    write_live_model_explorer(
+        os.path.join(out_dir, "influence", "live_explorer.html"),
+        system, params_best, title="live global-model explorer",
+        df_prot=df_prot, df_rna=df_rna, df_pho=df_pho)
     pd.DataFrame({"protein": topo.proteins, "converged": ss.converged,
                   "final_rate": ss.final_rate, "ss_value": ss.ss_value}
                  ).to_csv(os.path.join(out_dir, "steady_state_check.csv"),

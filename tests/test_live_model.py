@@ -1,0 +1,307 @@
+"""Live-model explorer: payload structure + JS/Python model agreement.
+
+No JS runtime exists in this image, so the embedded forward model is
+verified three ways: (a) the payload's structural contract — every array
+the JS reads, with the exact shapes it indexes; (b) the presence of each
+mechanism branch / solver piece in the emitted JS; (c) a LITERAL Python
+mirror of the JS algorithm (same Dormand-Prince tableau, same
+segment-wise stepping, same RHS index arithmetic, same FC baselines)
+checked against the production `simulate` + `fold_changes` pipeline for
+all four mechanisms. Any edit to the JS model in
+`report/live_model.py` must keep `_js_mirror_solve` below in sync.
+"""
+
+import json
+import re
+
+import numpy as np
+import pytest
+
+from phoskintime_tpu.demo import build_demo_network
+from phoskintime_tpu.report.live_model import write_live_model_explorer
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return build_demo_network(n_proteins=12, n_kinases=5, seed=3)
+
+
+def _payload(path):
+    html = open(path).read()
+    m = re.search(r"window\.__LIVEMODEL__ = (\{.*?\});</script>", html,
+                  re.DOTALL)
+    assert m, "payload script tag missing"
+    return json.loads(m.group(1)), html
+
+
+class TestLiveModelExplorer:
+    def test_payload_contract(self, bundle, tmp_path):
+        b = bundle
+        path = write_live_model_explorer(
+            str(tmp_path / "live.html"), b["system"], b["true"],
+            df_prot=b["df_prot"], df_rna=b["df_rna"], df_pho=b["df_pho"])
+        D, html = _payload(path)
+        topo = b["topo"]
+        assert D["N"] == topo.N and D["K"] == topo.K
+        assert D["model"] == int(topo.model)
+        assert np.asarray(D["W"]).shape == (topo.N, topo.max_sites, topo.K)
+        assert np.asarray(D["tf_mat"]).shape == (topo.N, topo.N)
+        assert np.asarray(D["Kmat"]).shape == (topo.K, len(D["kin_grid"]))
+        assert len(D["y0"]) == topo.N * topo.width
+        for k in ("c_k", "A_i", "B_i", "C_i", "D_i", "Dp_i", "E_i",
+                  "tf_scale"):
+            assert k in D["params"], k
+        assert np.asarray(D["params"]["Dp_i"]).shape == (topo.N,
+                                                         topo.max_sites)
+        assert len(D["site_names"]) == len(D["site_index"]) \
+            == int(topo.n_sites.sum())
+        # observed overlay points present for at least one protein
+        assert D["data"] and len(D["data"]["prot"]) > 0
+
+    def test_js_has_all_mechanism_branches(self, bundle, tmp_path):
+        b = bundle
+        path = write_live_model_explorer(
+            str(tmp_path / "live.html"), b["system"], b["true"])
+        _, html = _payload(path)
+        # the RHS must be live-computed, not table lookup: the JS carries
+        # each mechanism branch and the RK45 tableau
+        for marker in ("MODEL === 2", "MODEL === 1", "MODEL === 4",
+                       "rhs.py:168-182", "DP_A", "kinaseActivity",
+                       "requestAnimationFrame"):
+            assert marker in html, marker
+        # no precomputed trajectory arrays in the payload
+        D, _ = _payload(path)
+        assert "est" not in D and "curves" not in D
+
+    def test_fc_baselines_match_python_convention(self, bundle, tmp_path):
+        # baseline indices: t=0 for protein/phospho, t=4 for rna —
+        # the JS nearest() mirrors fold_changes (simulate.py:90-99)
+        b = bundle
+        path = write_live_model_explorer(
+            str(tmp_path / "live.html"), b["system"], b["true"])
+        _, html = _payload(path)
+        assert "nearest(0)" in html and "nearest(4)" in html
+
+    def test_runner_emits_live_explorer(self):
+        import inspect
+
+        from phoskintime_tpu.network import runner
+
+        src = inspect.getsource(runner)
+        assert "write_live_model_explorer" in src
+
+
+# ---------------------------------------------------------------------------
+# literal Python mirror of the embedded JS forward model
+# ---------------------------------------------------------------------------
+
+_DP_A = [[], [1 / 5], [3 / 40, 9 / 40], [44 / 45, -56 / 15, 32 / 9],
+         [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+         [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+         [35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]]
+_DP_E = [71 / 57600, 0, -71 / 16695, 71 / 1920, -17253 / 339200,
+         22 / 525, -1 / 40]
+
+
+def _js_mirror_rhs(D, t, Y, jb, p):
+    """rhs() from _JS_MODEL, transliterated (vectorized over n where the
+    JS loops are trivially elementwise — identical arithmetic)."""
+    N, K, SM, W = D["N"], D["K"], D["smax"], D["width"]
+    MODEL = D["model"]
+    Wp = np.asarray(D["W"])          # (N, SM, K)
+    j = min(max(jb, 0), len(D["kin_grid"]) - 1)
+    Kt = np.asarray(D["Kmat"])[:, j] * np.asarray(p["ck"])
+    S = Wp @ Kt                      # (N, SM)
+    Yn = Y.reshape(N, W)
+    n_sites = np.asarray(D["n_sites"])
+    sl = np.arange(SM)[None, :] < n_sites[:, None]
+    if MODEL == 2:
+        n_states = np.asarray(D["n_states"])
+        stm = np.arange(W - 1)[None, :] < n_states[:, None]
+        tot = np.sum(Yn[:, 1:] * stm, axis=1)
+    else:
+        tot = Yn[:, 1] + np.sum(Yn[:, 2:] * sl, axis=1)
+    dmap = np.asarray(D["driver_map"])
+    Pv = np.where(dmap >= 0, Kt[np.maximum(dmap, 0)], tot)
+    v = (np.asarray(D["tf_mat"]) @ Pv) / np.asarray(D["tf_deg"])
+    u = v / (1 + np.abs(v))
+    A = np.asarray(p["A"])
+    tf = np.asarray(p["tf"])
+    synth = np.where(u >= 0, A * (1 + (tf * u) / (1 + u + 1e-6)),
+                     A / (1 + tf * np.abs(u)))
+    out = np.zeros_like(Yn)
+    B, C, Dd, E = (np.asarray(p[k]) for k in ("B", "C", "Dd", "E"))
+    Dp = np.asarray(p["Dp"])
+    R, Pm = Yn[:, 0], Yn[:, 1]
+    out[:, 0] = synth - B * R
+    if MODEL == 2:
+        for n in range(N):
+            ns = int(n_sites[n])
+            M2 = 1 << ns
+            for jj in range(ns):
+                bit = 1 << jj
+                for m in range(M2):
+                    xm = m ^ bit
+                    Xm, Xx = Yn[n, 1 + m], Yn[n, 1 + xm]
+                    if m & bit:
+                        infl, outf = S[n, jj] * Xx, E[n] * Xm
+                    else:
+                        infl, outf = E[n] * Xx, S[n, jj] * Xm
+                    out[n, 1 + m] += infl - outf
+            for m in range(M2):
+                dec = Dd[n]
+                if m > 0:
+                    dec = sum(Dp[n, jj] + Dd[n] for jj in range(ns)
+                              if m & (1 << jj))
+                out[n, 1 + m] -= dec * Yn[n, 1 + m]
+            out[n, 1] += C[n] * R[n]
+    elif MODEL == 1:
+        hs = (n_sites > 0).astype(float)
+        k0 = np.where(n_sites > 0, S[:, 0], 0.0)
+        P1 = np.where(n_sites > 0, Yn[:, 2], 0.0)
+        out[:, 1] = C * R - Dd * Pm - k0 * Pm * hs + E * P1 * hs
+        for n in range(N):
+            ns = int(n_sites[n])
+            for jj in range(ns):
+                prev = Pm[n] if jj == 0 else Yn[n, 1 + jj]
+                has_next = 1.0 if jj + 1 < ns else 0.0
+                k_next = S[n, jj + 1] if jj + 1 < ns else 0.0
+                nxt = Yn[n, 3 + jj] if jj + 1 < ns else 0.0
+                out[n, 2 + jj] = (S[n, jj] * prev + E[n] * nxt * has_next
+                                  - (k_next * has_next + E[n] + Dp[n, jj]
+                                     + Dd[n]) * Yn[n, 2 + jj])
+    elif MODEL == 4:
+        trans = (C * R) / (1 + R)
+        ff = (S * sl * Pm[:, None]) / (1 + Pm[:, None])
+        bk = E[:, None] * Yn[:, 2:] * sl
+        out[:, 2:] = (ff - (Dp + Dd[:, None]) * Yn[:, 2:] * sl - bk) * sl
+        out[:, 1] = trans - Dd * Pm - ff.sum(1) + bk.sum(1)
+    else:
+        sites = Yn[:, 2:] * sl
+        Sm = S * sl
+        out[:, 2:] = (Sm * Pm[:, None]
+                      - (E[:, None] + Dp + Dd[:, None]) * sites) * sl
+        out[:, 1] = C * R - (Dd + Sm.sum(1)) * Pm + E * sites.sum(1)
+    return out.reshape(-1)
+
+
+def _js_mirror_solve(D, p, times):
+    """integrate() + observables() from _JS_MODEL, transliterated."""
+    dim = D["N"] * D["width"]
+    Y = np.asarray(D["y0"], float).copy()
+    outs, oi = [], 0
+    T = len(times)
+    g = list(D["kin_grid"])
+    nb = len(g)
+    if times[0] <= g[0] + 1e-12:
+        outs.append(Y.copy())
+        oi = 1
+    ks = [np.zeros(dim) for _ in range(7)]
+    for seg in range(nb):
+        if oi >= T:
+            break
+        t = g[seg]
+        tEnd = min(g[seg + 1] if seg + 1 < nb else times[-1], times[-1])
+        if tEnd <= t:
+            continue
+        h = (tEnd - t) / 8
+        ks[0] = _js_mirror_rhs(D, t, Y, seg, p)
+        steps = 0
+        while t < tEnd - 1e-12 and steps < 4000:
+            steps += 1
+            h = min(h, tEnd - t)
+            for s in range(1, 7):
+                acc = sum(_DP_A[s][q] * ks[q] for q in range(s))
+                ks[s] = _js_mirror_rhs(D, t + h, Y + h * acc, seg, p)
+            y5 = Y + h * (_DP_A[6][0] * ks[0] + _DP_A[6][2] * ks[2]
+                          + _DP_A[6][3] * ks[3] + _DP_A[6][4] * ks[4]
+                          + _DP_A[6][5] * ks[5])
+            e = h * sum(_DP_E[q] * ks[q] for q in range(7))
+            sc = 1e-7 + 1e-5 * np.maximum(np.abs(Y), np.abs(y5))
+            err = np.sqrt(np.mean((e / sc) ** 2))
+            if err <= 1:
+                while oi < T and times[oi] <= t + h + 1e-12:
+                    th = (times[oi] - t) / h
+                    h00 = (1 + 2 * th) * (1 - th) ** 2
+                    h10 = th * (1 - th) ** 2
+                    h01 = th * th * (3 - 2 * th)
+                    h11 = th * th * (th - 1)
+                    outs.append(h00 * Y + h * h10 * ks[0] + h01 * y5
+                                + h * h11 * ks[6])
+                    oi += 1
+                t += h
+                Y = y5.copy()
+                ks[0] = ks[6].copy()
+            f = 0.9 * max(err, 1e-10) ** -0.2
+            h *= min(5, max(0.2, f))
+    while oi < T:
+        outs.append(Y.copy())
+        oi += 1
+    sol = np.stack(outs)
+
+    # observables + FC (JS observables())
+    N, W, SM = D["N"], D["width"], D["smax"]
+    n_sites = np.asarray(D["n_sites"])
+    Yt = sol.reshape(T, N, W)
+    Rr = Yt[:, :, 0]
+    if D["model"] == 2:
+        stm = np.arange(W - 1)[None, :] < np.asarray(D["n_states"])[:, None]
+        TOT = np.sum(Yt[:, :, 1:] * stm, axis=2)
+        PHO = np.zeros((T, N, SM))
+        for n in range(N):
+            for jj in range(int(n_sites[n])):
+                for m in range(1, 1 << int(n_sites[n])):
+                    if m & (1 << jj):
+                        PHO[:, n, jj] += Yt[:, n, 1 + m]
+    else:
+        sl = np.arange(SM)[None, :] < n_sites[:, None]
+        TOT = Yt[:, :, 1] + np.sum(Yt[:, :, 2:] * sl, axis=2)
+        PHO = Yt[:, :, 2:] * sl
+    times = np.asarray(times)
+    bp = int(np.argmin(np.abs(times - 0.0)))
+    br = int(np.argmin(np.abs(times - 4.0)))
+    EPS = 1e-12
+    fcR = np.maximum(Rr, EPS) / np.maximum(Rr[br][None], EPS)
+    fcP = np.maximum(TOT, EPS) / np.maximum(TOT[bp][None], EPS)
+    fcPh = np.maximum(PHO, EPS) / np.maximum(PHO[bp][None], EPS)
+    return fcR, fcP, fcPh
+
+
+class TestJSMirrorParity:
+    """The algorithm the JS encodes == the production jax pipeline."""
+
+    @pytest.mark.parametrize("model", [0, 1, 2, 4])
+    def test_mirror_matches_simulate(self, model, tmp_path):
+        import jax.numpy as jnp
+
+        from phoskintime_tpu.network.simulate import (extract_observables,
+                                                      fold_changes, simulate)
+
+        b = build_demo_network(n_proteins=8, n_kinases=4,
+                               max_sites=3 if model == 2 else 4,
+                               model=model, seed=5)
+        path = write_live_model_explorer(
+            str(tmp_path / "live.html"), b["system"], b["true"])
+        D, _ = _payload(path)
+        p = {"A": D["params"]["A_i"], "B": D["params"]["B_i"],
+             "C": D["params"]["C_i"], "Dd": D["params"]["D_i"],
+             "E": D["params"]["E_i"], "tf": D["params"]["tf_scale"],
+             "ck": D["params"]["c_k"], "Dp": np.asarray(D["params"]["Dp_i"])}
+
+        grid = np.asarray(b["system"].kin_grid, float)
+        ts = np.unique(np.concatenate(
+            [np.linspace(0, grid[-1], 41), [4.0]]))
+        mR, mP, mPh = _js_mirror_solve(D, p, ts.tolist())
+
+        params_j = {k: jnp.asarray(np.asarray(v)) for k, v in
+                    b["true"].items()}
+        res = simulate(b["system"], params_j, ts, rtol=1e-7, atol=1e-9)
+        fR, fP, fPh = (np.asarray(a) for a in fold_changes(
+            extract_observables(b["system"], res.ys), jnp.asarray(ts)))
+
+        assert np.max(np.abs(mP - fP) / (1 + np.abs(fP))) < 2e-3
+        assert np.max(np.abs(mR - fR) / (1 + np.abs(fR))) < 2e-3
+        sl = np.arange(D["smax"])[None, :] < np.asarray(
+            D["n_sites"])[:, None]
+        dph = np.abs(mPh - fPh) / (1 + np.abs(fPh))
+        assert np.max(dph[:, sl]) < 2e-3
