@@ -234,10 +234,49 @@ def accuracy_vs_lsoda(b, Y_lsoda):
     return float(max(errs))
 
 
+def northstar_10k_ensemble():
+    """North-star arm (BASELINE.md): full-network fit, 10k-member
+    ensemble, ENTIRE generation loop on device (variation + evaluation +
+    column-shardable ranking + batched water-filling NSGA-III niching).
+
+    100-generation budget (1M full-network objective evaluations at
+    reference parameter scale, n_var ~1.1k); the baseline comparison is
+    ONE reference fit (pop 300 x 1000 gens = 3e5 LSODA solves on the
+    80-core pool at the pinned SciPy rate). Reference anchors:
+    ``config.toml:296-297``, ``global_model/runner.py:663-702``.
+    """
+    from phoskintime_tpu.demo import build_demo_network
+    from phoskintime_tpu.network.optimize import run_global_fit
+
+    b10 = build_demo_network(n_proteins=150, n_kinases=24, seed=1,
+                             dtype=np.float32)
+    t0 = time.perf_counter()
+    res = run_global_fit(b10["system"], b10["slices"], b10["loss_data"],
+                         b10["defaults"], b10["lambdas"], b10["grid"],
+                         b10["xl"], b10["xu"], pop=10_000, n_gen=100,
+                         seed=0, ftol=0.0, ftol_period=10_000,
+                         n_max_evals=None, frechet_pick=False,
+                         gens_per_dispatch=10)
+    wall = time.perf_counter() - t0
+    gens = len(res.history)
+    ref_one_fit_s = 3e5 / (80.0 * SCIPY_1CORE_EVALS_PER_S)
+    return {
+        "wall_s": round(wall, 1),
+        "gens": gens,
+        "pop": 10_000,
+        "evals_per_s": round(res.n_evals / wall, 1),
+        "ideal": [round(float(v), 4) for v in res.F.min(axis=0)],
+        # the north-star clause: 10k-member ensemble fit in less
+        # wall-clock than ONE reference multi-start fit on 80 CPU cores
+        "vs_one_ref_fit": round(ref_one_fit_s / wall, 1),
+    }
+
+
 def main():
     rate, b, extras = tpu_rate()
     cpu_rate, Y_lsoda = scipy_single_core_rate(b)
     acc = accuracy_vs_lsoda(b, Y_lsoda)
+    ns10k = northstar_10k_ensemble()
     # round-4 gate: 1e-3 against a TIGHT oracle (rtol 1e-7); measured
     # 3.5e-4 on TPU f32 — VERDICT r3 item 4 closed
     assert acc < 1e-3, f"ETD2RK drifted from the LSODA oracle: {acc:.2e}"
@@ -249,6 +288,7 @@ def main():
         "vs_baseline": round(rate / baseline, 3),
         "accuracy_rel_err": round(acc, 6),
         "scipy_live_evals_per_s": round(cpu_rate, 4),
+        "northstar_10k_ensemble": ns10k,
         **extras,
     }))
 
