@@ -29,7 +29,13 @@ DOCUMENTED EXPERIMENT (not routed to in production):
   8-row grid serializes large batches; the XLA gather fuses into the
   surrounding RHS for free. The model-2 production path also only needs
   this flux inside per-bucket jvp block extraction (network/expo.py), not
-  in the integration scan, so even a winning kernel would be cold. Kept
+  in the integration scan, so even a winning kernel would be cold.
+  Round-4 re-examination (VERDICT r3 item 5): with the dense masked loss
+  in place, the pop-2048 model-2 decomposition measures objective
+  195.2 ms / simulate-only 194.9 ms / simulate+observables 193.0 ms —
+  the 2^Smax aggregation this kernel was built to relieve now costs
+  ~0 ms; 100% of model-2 cost is the propagator scan (w = 1 + 2^Smax
+  width class), where no stepwise RHS flux exists. Kept
   as a worked example of lane-permutation kernels; do NOT route to it
   without re-measuring.
 
