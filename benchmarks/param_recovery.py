@@ -109,11 +109,25 @@ def main():
                          "(required for the 10k-ensemble north-star arm; "
                          "ranking is the column-shardable fixpoint)")
     ap.add_argument("--polish-steps", type=int, default=600)
+    ap.add_argument("--polish-top", type=int, default=0,
+                    help="polish only the best K Pareto members by "
+                         "objective sum (0 = all; use with the 10k-member "
+                         "device-loop GA, whose front can be thousands "
+                         "of members)")
     ap.add_argument("--lm-iters", type=int, default=40)
     ap.add_argument("--lm-starts", type=int, default=1,
                     help="LM multistart: finish from the top-K polished "
                          "members by scalarized F (distinct basins), "
                          "keep the best SSE")
+    ap.add_argument("--near-truth", action="store_true",
+                    help="skip GA/Adam; run the LM finish alone from "
+                         "theta* + 5%% relative noise. Separates optimizer "
+                         "capability (quadratic local convergence to the "
+                         "dtype/integrator floor) from global basin "
+                         "selection, which is what the full ladder's "
+                         "residual error measures.")
+    ap.add_argument("--perturb", type=float, default=0.05,
+                    help="relative perturbation scale for --near-truth")
     ap.add_argument("--prior", type=float, default=0.0,
                     help="prior-adherence weight. MUST be 0 for a recovery "
                          "experiment: the production default 0.1 pulls the "
@@ -139,7 +153,10 @@ def main():
     enable_compilation_cache()
 
     if args.small:
-        b = build_demo_network(n_proteins=40, n_kinases=12, seed=0)
+        # genuine f64 weights end-to-end (the default f32 system would
+        # floor the parameter match at ~1e-5 even under x64)
+        b = build_demo_network(n_proteins=40, n_kinases=12, seed=0,
+                               dtype=np.float64)
         n_gen = min(args.gens, 200)
     else:
         b = build_demo_network(n_proteins=150, n_kinases=24, seed=1)
@@ -158,6 +175,29 @@ def main():
                       "wall_s": round(time.perf_counter() - t0, 1)}),
           flush=True)
 
+    if args.near_truth:
+        # ---- capability arm: LM alone from a perturbed truth ----------
+        # (the north-star clause is about what the OPTIMIZER can pin once
+        # the basin is right; the full ladder below also measures how well
+        # the global stage finds that basin)
+        rng = np.random.default_rng(7)
+        th0 = np.clip(theta_star + args.perturb
+                      * rng.standard_normal(n_var) * (1 + np.abs(theta_star)),
+                      np.asarray(b["xl"], float), np.asarray(b["xu"], float))
+        stage_metrics("start_perturbed", b, th0, sig, V, theta_star,
+                      {"perturb": args.perturb})
+        t0 = time.perf_counter()
+        th_lm, sse = lm_refine(b["system"], b["slices"], b["loss_data"],
+                               b["defaults"], b["lambdas"], b["grid"],
+                               th0, b["xl"], b["xu"], iters=args.lm_iters)
+        stage_metrics("lm_from_near_truth", b, th_lm, sig, V, theta_star,
+                      {"wall_s": round(time.perf_counter() - t0, 1),
+                       "sse": float(f"{sse:.6g}"), "iters": args.lm_iters})
+        stage_metrics("floor_truth", b, theta_star, sig, V, theta_star,
+                      {"note": "theta* through the same pipeline: the"
+                               " dtype/integrator noise floor"})
+        return
+
     # ---- stage 0: converged UNSGA3 ------------------------------------
     t0 = time.perf_counter()
     res = run_global_fit(b["system"], b["slices"], b["loss_data"],
@@ -174,10 +214,14 @@ def main():
 
     # ---- stage 1: bounded-Adam polish of the Pareto set ---------------
     t0 = time.perf_counter()
+    par_X, par_F = res.pareto_X, res.pareto_F
+    if args.polish_top and len(par_X) > args.polish_top:
+        keep = np.argsort(np.asarray(par_F).sum(axis=1))[: args.polish_top]
+        par_X, par_F = par_X[keep], par_F[keep]
     pX, pF = polish_solutions(b["system"], b["slices"], b["loss_data"],
                               b["defaults"], b["lambdas"], b["grid"],
-                              res.pareto_X, b["xl"], b["xu"],
-                              weights=simplex_weights(res.pareto_F),
+                              par_X, b["xl"], b["xu"],
+                              weights=simplex_weights(par_F),
                               steps=args.polish_steps, chunk=128)
     pbest = pX[np.argmin(np.asarray(pF).sum(axis=1))]
     stage_metrics("1_adam_polish", b, pbest, sig, V, theta_star,
