@@ -193,7 +193,8 @@ def gradient_multistart(system, slices, loss_data, defaults, lambdas,
 def lm_refine(system, slices, loss_data, defaults, lambdas, time_grid,
               theta, xl, xu, *, iters: int = 15, cg_iters: int = 25,
               mu0: float = 1e-3, y0=None, logger=None,
-              jac_chunk: int = 256, gtol: float = 0.0, xtol: float = 0.0):
+              jac_chunk: int = 256, gtol: float = 0.0, xtol: float = 0.0,
+              r_offset=None):
     """Levenberg-Marquardt refinement of ONE solution on the exact
     residual vector, with an EXPLICIT Jacobian and f64 normal-equation
     solves.
@@ -224,6 +225,16 @@ def lm_refine(system, slices, loss_data, defaults, lambdas, time_grid,
 
     ``cg_iters`` is accepted for call compatibility and ignored.
 
+    ``r_offset`` (optional, shape (M,)): minimizes ||r(theta) -
+    r_offset||^2 instead of ||r(theta)||^2. Passing ``r(theta*)`` makes
+    a synthetic-truth experiment SELF-CONSISTENT (zero-residual at
+    theta* by construction): without it, the data's integrator
+    truncation error — generated on the per-modality grids, fit on the
+    merged grid, two different segment plans, each exact only to
+    O(h^2) — displaces the residual's global minimum from theta* by
+    ~1e-4 relative, which then reads as a spurious parameter-recovery
+    floor. The Jacobian is unaffected (the offset is constant).
+
     No reference counterpart at all (LSODA exposes no J^T J structure);
     anchor for intent: the reference's bound-zoom refinement
     ``global_model/refine.py:32-357``.
@@ -236,6 +247,11 @@ def lm_refine(system, slices, loss_data, defaults, lambdas, time_grid,
     wdt = system.rhs.W_pad.dtype
     xl_h = np.asarray(xl, float)
     xu_h = np.asarray(xu, float)
+
+    if r_offset is not None:
+        r_off = jnp.asarray(r_offset, system.rhs.W_pad.dtype)
+        _res_raw = residuals
+        residuals = lambda th: _res_raw(th) - r_off  # noqa: E731
 
     @jax.jit
     def res_j(th):

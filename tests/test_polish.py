@@ -314,3 +314,36 @@ class TestLMRefine:
         assert sse_out < 0.7 * sse_in  # GN actually bites, not a no-op
         assert np.all(th_out >= np.asarray(xl) - 1e-6)
         assert np.all(th_out <= np.asarray(xu) + 1e-6)
+
+    def test_lm_r_offset_zero_residual_formulation(self):
+        """r_offset=r(theta*) makes theta* the exact global min (sse 0):
+        starting AT theta* the refiner must stay put, and starting from a
+        perturbation it must land far below the raw-residual floor (the
+        data's own integrator truncation error, ~1e-4 rel)."""
+        from phoskintime_tpu.network.objective import make_residual_fn
+        from phoskintime_tpu.network.polish import lm_refine
+
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        true = tiny_problem(0)[2]
+        th_star, _, _, _ = init_raw_params(true, topo, BOUNDS)
+        th_star = np.clip(np.asarray(th_star, float), xl, xu)
+        res_fn = make_residual_fn(sys, slices, ld, defaults, LAMBDAS, grid)
+        wdt = sys.rhs.W_pad.dtype
+        r_off = np.asarray(res_fn(jnp.asarray(th_star, wdt)))
+
+        # starting at theta*: zero residual by construction, no movement
+        th_out, sse_out = lm_refine(sys, slices, ld, defaults, LAMBDAS,
+                                    grid, th_star, xl, xu, iters=3,
+                                    r_offset=r_off)
+        assert sse_out < 1e-12
+        np.testing.assert_allclose(th_out, th_star, atol=1e-8)
+
+        # from a small perturbation: recovers theta* below the raw floor
+        rng = np.random.default_rng(3)
+        th0 = np.clip(th_star + 0.02 * rng.standard_normal(th_star.size)
+                      * (1 + np.abs(th_star)), xl, xu)
+        sse_raw_floor = float(r_off @ r_off)
+        th_rec, sse_rec = lm_refine(sys, slices, ld, defaults, LAMBDAS,
+                                    grid, th0, xl, xu, iters=12,
+                                    r_offset=r_off)
+        assert sse_rec < max(1e-10, 0.01 * max(sse_raw_floor, 1e-30))
