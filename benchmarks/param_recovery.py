@@ -129,7 +129,7 @@ def main():
     ap.add_argument("--perturb", type=float, default=0.05,
                     help="relative perturbation scale for --near-truth")
     ap.add_argument("--self-consistent", action=argparse.BooleanOptionalAction,
-                    default=True,
+                    default=False,
                     help="(--near-truth only) minimize ||r(theta)-r(theta*)||^2 "
                          "— the zero-residual formulation. Without it the "
                          "data's own integrator truncation error (generated "
@@ -137,7 +137,11 @@ def main():
                          "displaces the residual's global min from theta* "
                          "by ~1e-4 relative, a spurious recovery floor "
                          "(measured: LM converges to |grad|~3e-13 at sse "
-                         "4.3e-8 while sse(theta*)=2.4e-7).")
+                         "4.3e-8 while sse(theta*)=2.4e-7). OPT-IN (default "
+                         "off) so the default arm is honest recovery-from-"
+                         "data; when on, the emitted stage is tagged "
+                         "'lm_from_near_truth_selfconsistent' so result "
+                         "JSON is self-describing.")
     ap.add_argument("--prior", type=float, default=0.0,
                     help="prior-adherence weight. MUST be 0 for a recovery "
                          "experiment: the production default 0.1 pulls the "
@@ -215,7 +219,9 @@ def main():
                                b["defaults"], b["lambdas"], b["grid"],
                                th0, b["xl"], b["xu"], iters=args.lm_iters,
                                r_offset=r_off)
-        stage_metrics("lm_from_near_truth", b, th_lm, sig, V, theta_star,
+        stage = ("lm_from_near_truth_selfconsistent" if args.self_consistent
+                 else "lm_from_near_truth")
+        stage_metrics(stage, b, th_lm, sig, V, theta_star,
                       {"wall_s": round(time.perf_counter() - t0, 1),
                        "sse": float(f"{sse:.6g}"), "iters": args.lm_iters})
         stage_metrics("floor_truth", b, theta_star, sig, V, theta_star,

@@ -124,6 +124,38 @@ def _segment_plan(kin_grid: tuple, t_eval: tuple, substep: float,
     return (seg_t0, seg_h, seg_jb, out_idx, uidx.astype(np.int32), u_jb, u_h)
 
 
+def _run_plan(seg_uidx, out_idx):
+    """Static run decomposition of the segment plan.
+
+    Segments come in contiguous RUNS of equal (bucket, h) pair (the plan
+    subdivides each knot interval into equal substeps), so the scan can
+    hoist the propagator-table lookup per run instead of gathering it per
+    segment. Runs are additionally split at every t_eval segment so each
+    output lands exactly at a run END — the scan then never materializes
+    per-segment states at all (the full (S, w, P*N) stacked trajectory of
+    a flat ``lax.scan`` was ~300 MB of pure HBM writes at pop 2048 that
+    the loss never reads).
+
+    Returns (runs [(start, n)], out_pos (T,) int64) with out_pos[k] the
+    index into [y0] + [run-end states] for t_eval[k].
+    """
+    S = len(seg_uidx)
+    out_set = {int(i) for i in np.asarray(out_idx) if i >= 0}
+    runs = []
+    i = 0
+    while i < S:
+        j = i + 1
+        while (j < S and seg_uidx[j] == seg_uidx[i]
+               and (j - 1) not in out_set):
+            j += 1
+        runs.append((i, j - i))
+        i = j
+    end_to_run = {start + n - 1: r for r, (start, n) in enumerate(runs)}
+    out_pos = np.asarray([0 if o < 0 else end_to_run[int(o)] + 1
+                          for o in np.asarray(out_idx)], np.int64)
+    return runs, out_pos
+
+
 def _block_linear_operators(system, params, buckets: np.ndarray, dtype):
     """(B, N, w, w) block-diagonal linear parts, one per unique bucket.
 
@@ -395,8 +427,9 @@ def _phi_matrices_lanes(L, h, max_squarings: int = _MAX_SQUARINGS,
     """
     w = L.shape[0]
     if taylor_terms is None:
-        # after scaling ||A|| <= 0.25: term_k = 0.25^k/k! -> 8 terms reach
-        # ~4e-10 (past f32 eps), 12 reach f64 accuracy
+        # after scaling ||A|| <= _taylor_radius(dtype): f32 runs 8 terms
+        # at radius 0.5 (err 0.5^9/9! ~ 5.4e-9, past f32 eps), f64 runs
+        # 12 terms at 0.25 (0.25^13/13! ~ 2.4e-17)
         taylor_terms = 12 if L.dtype == jnp.float64 else 8
     A = L * jnp.asarray(h)[None, None, :]             # Lh, (w, w, B)
     norm = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)
@@ -409,8 +442,8 @@ def _phi_matrices_lanes(L, h, max_squarings: int = _MAX_SQUARINGS,
 
     eye = jnp.broadcast_to(jnp.eye(w, dtype=L.dtype)[:, :, None], A.shape)
     # E by Horner; phi1 = sum_k A^k/(k+1)!, phi2 = sum_k A^k/(k+2)! by the
-    # plain series sharing the powers A^k/k! (||A|| <= 0.25 after scaling,
-    # so the series reaches dtype accuracy).
+    # plain series sharing the powers A^k/k! (||A|| <= the per-dtype
+    # _taylor_radius after scaling, so the series reaches dtype accuracy).
     E = eye
     for k in range(taylor_terms, 0, -1):
         E = eye + _mm_lanes(A / k, E)
@@ -689,9 +722,19 @@ def exponential_simulate_batched(system, params_b, t_eval,
             # (and, bucketed, once per pair PER CLASS — 482 s of
             # trace+compile at a 12-protein demo, measured)
             from phoskintime_tpu.ops.phi_pallas import (
-                ladder_len, phi_vectors_pallas_all)
+                ladder_len, phi_vectors_pallas_all,
+                phi_vectors_pallas_pages)
 
             lad = max(ladder_len(w_in, float(h)) for h in u_h)
+            if w_in <= 8:
+                # pages layout: matrix entries as leading-dim vreg pages
+                # — no sublane shuffles (12.2 -> 5.0 ms at pop 2048,
+                # honest slope timing, round 5). Statement count is
+                # O(w^3 * ladder), so wide model-2 classes keep the
+                # sublane-layout kernel.
+                return phi_vectors_pallas_pages(
+                    L_in, np.asarray(bucket_inv, np.int32),
+                    np.asarray(u_h, np.float32), lad)
             return phi_vectors_pallas_all(
                 L_in, np.asarray(bucket_inv, np.int32),
                 np.asarray(u_h, np.float32), lad)
@@ -934,19 +977,37 @@ def exponential_simulate_batched(system, params_b, t_eval,
             return _obs_from_ys(system, ys), success
         return ys, success
 
-    def step(yl, seg):
-        t0, h, jb, uidx = seg
-        Es, P1, P2 = E_u[uidx], Phi1_u[uidx], Phi2_u[uidx]
-        s_n = synth_of(yl, jb)
-        a = bmv_l(Es, yl) + P1 * s_n[None, :]
-        s_a = synth_of(a, jb)
-        y_new = a + (P2 / h) * (s_a - s_n)[None, :]
-        return y_new, y_new
+    # run-structured scan: one lax.scan PER RUN of equal-(bucket, h)
+    # segments, with the table row, bucket and step all STATIC. vs the
+    # flat scan over (t0s, hs, jbs, uidxs) this (a) removes the per-step
+    # dynamic table gather, (b) hoists the kinase-activity lookup per
+    # run, (c) stops materializing per-segment states (runs end exactly
+    # at t_eval points, see :func:`_run_plan`) — honest slope-timed
+    # measurement: 10.5 -> ~3 ms of the pop-2048 objective (round 5).
+    runs, out_pos = _run_plan(seg_uidx, out_idx)
+    yl = to_lanes(y0b.reshape(P, N, w))
+    states = [yl]
+    for start, n in runs:
+        uidx = int(seg_uidx[start])
+        jb = int(seg_jb[start])
+        h = float(seg_h[start])
+        Es, P1 = E_u[uidx], Phi1_u[uidx]
+        P2h = Phi2_u[uidx] * (1.0 / h)
 
-    yl0 = to_lanes(y0b.reshape(P, N, w))
-    _, ys_seg = jax.lax.scan(step, yl0, (t0s, hs, jbs, uidxs))
-    ys_all = jnp.concatenate([yl0[None], ys_seg], axis=0)   # (S+1, w, PN)
-    sel = ys_all[jnp.asarray(out_idx) + 1]                  # (T, w, PN)
+        def step(yl, _, Es=Es, P1=P1, P2h=P2h, jb=jb):
+            s_n = synth_of(yl, jb)
+            a = bmv_l(Es, yl) + P1 * s_n[None, :]
+            s_a = synth_of(a, jb)
+            y_new = a + P2h * (s_a - s_n)[None, :]
+            return y_new, None
+
+        if n == 1:
+            yl = step(yl, None)[0]
+        else:
+            yl, _ = jax.lax.scan(step, yl, None, length=n)
+        states.append(yl)
+    ys_all = jnp.stack(states)                              # (R+1, w, PN)
+    sel = ys_all[jnp.asarray(out_pos)]                      # (T, w, PN)
     ys = jnp.transpose(sel.reshape(len(out_idx), w, P, N),
                        (2, 0, 3, 1)).reshape(P, len(out_idx), N * w)
     success = jnp.all(jnp.isfinite(ys), axis=(1, 2))

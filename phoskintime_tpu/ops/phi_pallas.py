@@ -214,6 +214,194 @@ def phi_vectors_pallas(L, h: float, ladder: int, blk: int | None = None,
     return E[..., :B], p1[..., :B], p2[..., :B]
 
 
+# ---------------------------------------------------------------------
+# Pages-layout variant: matrix indices in LEADING dims, batch on the
+# native (8, 128) vreg tile.
+#
+# The (w, w, BLK) layout above puts the matrix row index on the SUBLANE
+# axis, so every `_mm` j-term is a sublane extract + sublane broadcast —
+# Mosaic shuffle ops that outnumber the actual FMAs ~6x at w=6 (honest
+# slope-timed decomposition, round 5: 12.2 ms for a build whose
+# FLOP+DMA roofline is ~1.7 ms at pop 2048). Here every matrix entry
+# (i, j) is its own (8, blk8) page — a full vreg tile — and the block
+# matmuls unroll to w^3 pure vreg FMAs with ZERO shuffles. The identity
+# matrix degenerates to per-page scalar `+ 1.0` on diagonal pages (the
+# iota workaround above becomes moot). Only viable for small w (the
+# unrolled statement count is O(w^3 * ladder)); the flagship affine
+# mechanisms run w <= 2 + Smax <= 8.
+# ---------------------------------------------------------------------
+
+
+def _phi_math_pages(ladder: int, w: int, Lp, h):
+    """Pages core: Lp[i][j] are (8, blk8) vreg tiles; h scalar.
+
+    Returns (E pages [w][w], p1 pages [w], p2 pages [w]). Same math and
+    masking semantics as :func:`_phi_math` (pinned by equivalence test).
+    """
+    A = [[Lp[i][j] * h for j in range(w)] for i in range(w)]
+    # per-lane inf-norm over rows
+    norm = None
+    for i in range(w):
+        row = A[i][0] * 0.0
+        for j in range(w):
+            row = row + jnp.abs(A[i][j])
+        norm = row if norm is None else jnp.maximum(norm, row)
+    s = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) * (1.0 / _RADIUS)))
+    s = jnp.clip(s, 0.0, float(ladder))
+    inv = jnp.exp2(-s)                    # 1/scale without a VPU divide
+    A = [[A[i][j] * inv for j in range(w)] for i in range(w)]
+    hs = h * inv
+
+    def mm(x, y):
+        out = []
+        for i in range(w):
+            row = []
+            for k in range(w):
+                acc = x[i][0] * y[0][k]
+                for j in range(1, w):
+                    acc = acc + x[i][j] * y[j][k]
+                row.append(acc)
+            out.append(row)
+        return out
+
+    def mv(M, v):
+        out = []
+        for i in range(w):
+            acc = M[i][0] * v[0]
+            for j in range(1, w):
+                acc = acc + M[i][j] * v[j]
+            out.append(acc)
+        return out
+
+    def plus_eye(M):
+        return [[M[i][j] + 1.0 if i == j else M[i][j] for j in range(w)]
+                for i in range(w)]
+
+    # E = expm(A), Horner. All 1/k divides are trace-time reciprocal
+    # constants: a runtime VPU divide is ~10x an FMA and this unrolled
+    # body is ISSUE-bound, not FLOP-bound (measured: divides were ~25%
+    # of the kernel). f32 rounding shift is below the Taylor truncation.
+    E = plus_eye([[A[i][j] * (1.0 / _TAYLOR_TERMS) for j in range(w)]
+                  for i in range(w)])
+    for k in range(_TAYLOR_TERMS - 1, 0, -1):
+        rk = 1.0 / k
+        Ak = [[A[i][j] * rk for j in range(w)] for i in range(w)]
+        E = plus_eye(mm(Ak, E))
+
+    # phi1/phi2 e0 columns
+    term = [A[i][0] for i in range(w)]
+    v1 = [term[i] * 0.5 + (1.0 if i == 0 else 0.0) for i in range(w)]
+    v2 = [term[i] * (1.0 / 6.0) + (0.5 if i == 0 else 0.0)
+          for i in range(w)]
+    for k in range(2, _TAYLOR_TERMS + 1):
+        rk = 1.0 / k
+        term = [t * rk for t in mv(A, term)]
+        r1, r2 = 1.0 / (k + 1), 1.0 / ((k + 1) * (k + 2))
+        for i in range(w):
+            v1[i] = v1[i] + term[i] * r1
+            v2[i] = v2[i] + term[i] * r2
+    p1 = [v1[i] * hs for i in range(w)]
+    p2 = [v2[i] * (hs * hs) for i in range(w)]
+
+    s_max = jnp.max(s)
+
+    def flat(E, p1, p2, hc):
+        return tuple([E[i][j] for i in range(w) for j in range(w)]
+                     + p1 + p2 + [hc])
+
+    def unflat(c):
+        E = [[c[i * w + j] for j in range(w)] for i in range(w)]
+        p1 = list(c[w * w:w * w + w])
+        p2 = list(c[w * w + w:w * w + 2 * w])
+        return E, p1, p2, c[-1]
+
+    def ladder_iter(i, carry):
+        E, p1, p2, hc = unflat(carry)
+        go = (float(i) < s)
+        p1n = mv(E, p1)
+        p2n = mv(E, p2)
+        En = mm(E, E)
+        E2 = [[jnp.where(go, En[i2][j2], E[i2][j2]) for j2 in range(w)]
+              for i2 in range(w)]
+        p12 = [jnp.where(go, p1[i2] + p1n[i2], p1[i2]) for i2 in range(w)]
+        p22 = [jnp.where(go, p2[i2] + p2n[i2] + p1[i2] * hc, p2[i2])
+               for i2 in range(w)]
+        return flat(E2, p12, p22, jnp.where(go, 2.0 * hc, hc))
+
+    carry = flat(E, p1, p2, hs)
+    for i in range(ladder):
+        carry = jax.lax.cond(float(i) < s_max,
+                             partial(ladder_iter, i),
+                             lambda c: c, carry)
+    E, p1, p2, _ = unflat(carry)
+    return E, p1, p2
+
+
+def _phi_kernel_pages(ladder: int, w: int, binv_ref, h_ref, L_ref,
+                      E_ref, p1_ref, p2_ref):
+    Lp = [[L_ref[0, i, j] for j in range(w)] for i in range(w)]
+    E, p1, p2 = _phi_math_pages(ladder, w, Lp, h_ref[pl.program_id(0)])
+    for i in range(w):
+        for j in range(w):
+            E_ref[0, i, j] = E[i][j]
+        p1_ref[0, i] = p1[i]
+        p2_ref[0, i] = p2[i]
+
+
+@partial(jax.jit, static_argnames=("ladder", "blk8", "interpret"))
+def phi_vectors_pallas_pages(L, binv, h_u, ladder: int,
+                             blk8: int | None = None,
+                             interpret: bool = False):
+    """Pages-layout all-pairs table build (drop-in for
+    :func:`phi_vectors_pallas_all`, small w only).
+
+    Args/returns identical to :func:`phi_vectors_pallas_all`; internally
+    the lane axis B is viewed as (8, B/8) so batch fills the native vreg
+    tile and every matrix entry is a leading-dim page (no shuffles).
+    """
+    Bu, w, _, B = L.shape
+    U = int(binv.shape[0])
+    if blk8 is None:
+        blk8 = 256
+    blk8 = max(128, blk8 // 128 * 128)   # lane dim: multiple of 128
+    unit = 8 * blk8
+    Bp = ((B + unit - 1) // unit) * unit
+    if Bp != B:
+        L = jnp.concatenate(
+            [L, jnp.zeros((Bu, w, w, Bp - B), L.dtype)], axis=-1)
+    Lr = L.reshape(Bu, w, w, 8, Bp // 8)
+    binv = jnp.asarray(binv, jnp.int32)
+    h_vec = jnp.asarray(h_u, L.dtype)
+
+    grid = (U, Bp // unit)
+    spec_L = pl.BlockSpec((1, w, w, 8, blk8),
+                          lambda u, i, bv, hv: (bv[u], 0, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_E = pl.BlockSpec((1, w, w, 8, blk8),
+                          lambda u, i, bv, hv: (u, 0, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((1, w, 8, blk8),
+                          lambda u, i, bv, hv: (u, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    E, p1, p2 = pl.pallas_call(
+        partial(_phi_kernel_pages, ladder, w),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[spec_L],
+            out_specs=(spec_E, spec_p, spec_p),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((U, w, w, 8, Bp // 8), L.dtype),
+                   jax.ShapeDtypeStruct((U, w, 8, Bp // 8), L.dtype),
+                   jax.ShapeDtypeStruct((U, w, 8, Bp // 8), L.dtype)),
+        interpret=interpret,
+    )(binv, h_vec, Lr)
+    E = E.reshape(U, w, w, Bp)[..., :B]
+    p1 = p1.reshape(U, w, Bp)[..., :B]
+    p2 = p2.reshape(U, w, Bp)[..., :B]
+    return E, p1, p2
+
+
 @partial(jax.jit, static_argnames=("ladder", "blk", "interpret"))
 def phi_vectors_pallas_all(L, binv, h_u, ladder: int,
                            blk: int | None = None,

@@ -204,8 +204,11 @@ var DP_A = [[], [1/5], [3/40, 9/40], [44/45, -56/15, 32/9],
   [35/384, 0, 500/1113, 125/192, -2187/6784, 11/84]];
 var DP_E = [71/57600, 0, -71/16695, 71/1920, -17253/339200, 22/525, -1/40];
 
+var intCapHit = false;   // true when any segment exhausted its step cap
+
 function integrate(p, times) {
   var dim = N * W;
+  intCapHit = false;
   var Y = D.y0.slice();
   var outs = [], oi = 0;
   var T = times.length;
@@ -258,6 +261,9 @@ function integrate(p, times) {
       var f = 0.9 * Math.pow(Math.max(err, 1e-10), -0.2);
       h *= Math.min(5, Math.max(0.2, f));
     }
+    // cap exhausted before reaching the segment end: the trajectory
+    // from here on is truncated, not converged — surface it in the UI
+    if (t < tEnd - 1e-12) intCapHit = true;
   }
   while (oi < T) { outs.push(Y.slice()); oi++; }      // clamp past grid
   return outs;
@@ -325,7 +331,7 @@ function solveAll() {
   var times = makeTimes(tMax);
   applyPerturbation();
   var sol = integrate(cur, times);
-  return { times: times, obs: observables(sol, times) };
+  return { times: times, obs: observables(sol, times), ok: !intCapHit };
 }
 """
 
@@ -536,6 +542,16 @@ function render() {
   });
   document.getElementById('solveMs').textContent =
     (performance.now() - t0).toFixed(0) + ' ms';
+  // integrator health badge: a stiff parameter edit can exhaust the
+  // per-segment step cap — show the failure instead of silently
+  // plotting the truncated trajectory
+  var warn = document.getElementById('intWarn');
+  if (warn) {
+    var bad = !(cache.ok && wt.ok);
+    warn.style.display = bad ? 'inline-block' : 'none';
+    warn.textContent = bad ?
+      'integration did not converge — trajectory truncated' : '';
+  }
   window.__lastSolve = cache;      // test hook
 }
 
@@ -606,15 +622,27 @@ def write_live_model_explorer(out_path, system, params, *, title=None,
         "data": data,
     }
 
+    # a protein/site name containing '</script>' (or an HTML-bearing
+    # title) must not break out of its context: escape the embedded JSON
+    # (the '<\\/' form is inert inside a <script> block and identical to
+    # JSON.parse) and HTML-escape the title
+    import html as _html
+
+    payload_js = json.dumps(payload).replace("</", "<\\/")
+    title_esc = _html.escape(title) if title else None
+
     html = f"""<!doctype html>
 <html><head><meta charset="utf-8">
-<title>{title or 'live model explorer'}</title>
+<title>{title_esc or 'live model explorer'}</title>
 <style>{_CSS}</style></head>
 <body>
-<header><h1>{title or 'Live global-model explorer'}</h1>
+<header><h1>{title_esc or 'Live global-model explorer'}</h1>
 <div class="sub">slider-driven exact re-simulation of the fitted network
 (model {int(topo.model)}, N={topo.N}, K={topo.K}) — solve time
-<span id="solveMs">…</span></div></header>
+<span id="solveMs">…</span>
+<span id="intWarn" style="display:none;margin-left:10px;padding:2px 8px;
+border-radius:4px;background:#fef2f2;color:#b91c1c;font-weight:600">
+</span></div></header>
 <div class="wrap">
   <div class="card"><h2>Perturbation &amp; horizon</h2>
     <div class="row" id="pertPanel"></div>
@@ -634,7 +662,7 @@ def write_live_model_explorer(out_path, system, params, *, title=None,
       <table class="imp"><tbody id="impact"></tbody></table></div>
   </div>
 </div>
-<script>window.__LIVEMODEL__ = {json.dumps(payload)};</script>
+<script>window.__LIVEMODEL__ = {payload_js};</script>
 <script>{_JS_MODEL}</script>
 <script>{_JS_UI}</script>
 </body></html>"""

@@ -177,6 +177,52 @@ class TestPhiPallasAll:
         assert bool(jnp.all(jnp.isfinite(E)))
 
 
+class TestPhiPallasPages:
+    """Pages-layout all-pairs kernel (matrix entries as leading-dim vreg
+    pages; the production route for the affine mechanisms' w <= 8)."""
+
+    def test_matches_all_pairs_kernel(self):
+        from phoskintime_tpu.ops.phi_pallas import (ladder_len,
+                                                    phi_vectors_pallas_all,
+                                                    phi_vectors_pallas_pages)
+
+        rng = np.random.default_rng(5)
+        Bu, w, B = 3, 6, 200
+        L = rng.normal(0, 0.5, (Bu, w, w, B)).astype(np.float32)
+        for i in range(w):
+            L[:, i, i, :] = -rng.uniform(0.01, 20.0, (Bu, B))
+        L = jnp.asarray(L)
+        binv = np.asarray([0, 1, 2, 1, 0], np.int32)
+        h_u = np.asarray([0.0625, 1.0, 16.0, 4.0, 0.5], np.float32)
+        lad = max(ladder_len(w, float(h)) for h in h_u)
+        E_a, p1_a, p2_a = phi_vectors_pallas_all(L, binv, h_u, lad,
+                                                 blk=128, interpret=True)
+        E_p, p1_p, p2_p = phi_vectors_pallas_pages(L, binv, h_u, lad,
+                                                   blk8=128, interpret=True)
+        assert E_p.shape == E_a.shape and p1_p.shape == p1_a.shape
+        for a, b in [(E_p, E_a), (p1_p, p1_a), (p2_p, p2_a)]:
+            scale = float(jnp.max(jnp.abs(b))) + 1e-30
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=2e-5)
+
+    def test_unpadded_tail(self):
+        """B not a multiple of 8*blk8 exercises the zero-pad tail path."""
+        from phoskintime_tpu.ops.phi_pallas import (ladder_len,
+                                                    phi_vectors_pallas_pages)
+
+        rng = np.random.default_rng(6)
+        w, B = 5, 77
+        L = rng.normal(0, 0.4, (1, w, w, B)).astype(np.float32)
+        for i in range(w):
+            L[:, i, i, :] = -rng.uniform(0.1, 5.0, (1, B))
+        h_u = np.asarray([2.0], np.float32)
+        E, p1, p2 = phi_vectors_pallas_pages(
+            jnp.asarray(L), np.asarray([0], np.int32), h_u,
+            ladder_len(w, 2.0), blk8=128, interpret=True)
+        assert E.shape == (1, w, w, B) and p1.shape == (1, w, B)
+        assert bool(jnp.all(jnp.isfinite(E)))
+
+
 class TestScanMegakernel:
     """The whole-segment-scan Pallas kernel (ops/scan_pallas.py) against
     the XLA lax.scan path it replaces — identical ETD2RK math, so parity
