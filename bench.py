@@ -18,20 +18,33 @@ vs_baseline = tpu_rate / (80 * SCIPY_1CORE_EVALS_PER_S). The live rate is
 still measured and emitted as ``scipy_live_evals_per_s`` so drift stays
 visible without contaminating the headline ratio.
 
-Extra fields (round-3 additions):
-  ``mfu``             — analytic model-FLOP utilization: XLA-counted FLOPs
-                        per objective call (``compiled.cost_analysis()``)
-                        x calls/s / v5e peak (197e12 bf16 FLOP/s — f32
-                        matmuls lower to bf16-rate MXU passes by default).
-                        Tiny by construction: the workload is w<=8 block
-                        operators, not large matmuls.
-  ``hbm_bw_util``     — XLA-counted bytes accessed per call x calls/s /
-                        v5e HBM bandwidth (819e9 B/s). The honest roofline
-                        for this bandwidth-bound workload.
-  ``device_busy_frac``— measured device-compute time per call (K calls
-                        chained inside ONE jit, so dispatch is out of the
-                        loop) / streamed per-call wall. <1 means the chip
-                        idles waiting on dispatch through the tunnel.
+Timing methodology (round 5): ``jax.block_until_ready`` is NOT a reliable
+completion barrier on this tunneled platform — it returned in 0.1 ms for a
+program whose true device time was 462 ms (verified by forcing a
+device->host copy; see benchmarks/vpu_peak.py). Every timing here chains K
+data-dependent calls inside ONE jit, reduces to a scalar, forces a host
+fetch, and reports the SLOPE between two K arms — which both guarantees
+completion and cancels the fixed dispatch/tunnel overhead (~25 ms). The
+overhead itself is emitted as ``dispatch_overhead_ms`` (single-call
+fetch-timed wall minus the slope).
+
+Roofline fields (round 5 — closes the "96% of device time is in neither
+roofline" gap):
+  ``vpu_peak_tflops``  — measured f32 VPU peak of THIS chip
+                         (benchmarks/vpu_peak.py; 6.8 TF on v5e =
+                         88% of the 8x128x4x2 @940 MHz theoretical).
+  ``profile_decomp``   — slope-timed stage cut at pop 2048:
+                         phi table build (Pallas pages kernel) and the
+                         ETD2RK segment scan, each with its own roofline:
+                         * vpu_util_phi: plan-bound table-build FLOPs /
+                           time / VPU peak (upper bound on useful work —
+                           the in-kernel ladder skip can do less);
+                         * hbm_util_scan: the scan's model traffic
+                           (per-segment table re-reads + state planes) /
+                           time / 819 GB/s.
+  ``mfu``/``hbm_bw_util`` — XLA cost-analysis based, kept for cross-round
+                         continuity; NOTE cost_analysis does not see
+                         inside pallas_call, so mfu undercounts.
 """
 
 import json
@@ -54,9 +67,40 @@ SCIPY_1CORE_EVALS_PER_S = 0.291
 # v5e single-chip peak (dense bf16 MXU FLOP/s). f32 jnp matmuls lower to
 # bf16-rate MXU passes at default precision, so this is the honest roof.
 V5E_PEAK_FLOPS = 197e12
-# v5e single-chip HBM bandwidth (B/s) — the roofline that actually binds
-# this small-block workload.
+# v5e single-chip HBM bandwidth (B/s).
 V5E_HBM_BW = 819e9
+# Measured f32 VPU peak of this chip (benchmarks/vpu_peak.py, slope-timed
+# non-reducible FMA map, 2 independent chains at (8, 2048) blocks,
+# 2026-08-20). Theoretical: 8 sublanes x 128 lanes x 4 ALUs x 2 flops
+# @ 940 MHz = 7.7 TF; measured 88% of it. Re-pin from vpu_peak.py output.
+V5E_VPU_PEAK_F32 = 6.8e12
+
+
+def _slope_time(make_scalar, x, Ks=(1, 4), n=3):
+    """Per-call device seconds of ``make_scalar(x) -> scalar``: chain K
+    data-dependent calls in one jit, force scalar host fetch, slope over
+    the two K arms (cancels dispatch; guarantees completion)."""
+    import jax
+    import jax.numpy as jnp
+
+    outs = {}
+    for K in Ks:
+        @jax.jit
+        def chained(t, K=K):
+            def body(i, acc):
+                return acc + make_scalar(t, acc * 1e-20)
+            return jax.lax.fori_loop(0, K, body, jnp.zeros((), jnp.float32))
+        r = chained(x)
+        _ = float(r)
+        ts = []
+        for _i in range(n):
+            t0 = time.perf_counter()
+            r = chained(x)
+            _ = float(r)
+            ts.append(time.perf_counter() - t0)
+        outs[K] = float(np.median(ts))
+    return ((outs[Ks[1]] - outs[Ks[0]]) / (Ks[1] - Ks[0]),
+            outs[Ks[0]])  # (slope s/call, single-chain wall)
 
 
 def tpu_rate():
@@ -77,12 +121,10 @@ def tpu_rate():
 
     b = build_demo_network(n_proteins=N_PROTEINS, n_kinases=N_KINASES,
                            seed=0, dtype=np.float32)
-    # pop_chunk=2048: the round-4 decomposition profile showed the
-    # segment scan sits ON its HBM table-traffic roofline at pop 2048
-    # but drifts ~4x off it at 8192 (working-set spill) — four chunks
-    # at the 2048 rate beat one 8192 program. Measured headline with
-    # chunking + dense masked loss + lane-native linear blocks:
-    # 79.1k evals/s (r3: 57.2k), accuracy 3.5e-4 vs the tight oracle
+    # pop_chunk=2048: the working set scales with ODE lanes (P*N); four
+    # chunks at the 2048 rate beat one 8192 program (round-4 finding,
+    # revalidated with honest slope timing round 5: 121k chunked vs 85k
+    # unchunked at pop 8192).
     objective = make_population_objective(
         b["system"], b["slices"], b["loss_data"], b["defaults"],
         b["lambdas"], b["grid"], pop_chunk=2048)
@@ -96,7 +138,8 @@ def tpu_rate():
     jax.block_until_ready(F)  # compile + warmup
     assert bool(jnp.all(jnp.isfinite(F))), "non-finite objectives"
 
-    # FLOPs per call as XLA counts them (for the MFU field)
+    # FLOPs per call as XLA counts them (for the MFU field; does not see
+    # inside pallas_call)
     try:
         ca = f.lower(thetas).compile().cost_analysis()
         if isinstance(ca, list):
@@ -107,40 +150,145 @@ def tpu_rate():
         flops_per_call = 0.0
         bytes_per_call = 0.0
 
-    n_rep = 5
-    t0 = time.perf_counter()
-    for i in range(n_rep):
-        F = f(thetas)
-    jax.block_until_ready(F)
-    dt = time.perf_counter() - t0
-    t_stream = dt / n_rep  # per-call wall, dispatch pipelined
+    def obj_scalar(t, eps):
+        return objective(t + eps)[0, 0]
 
-    # pure device time per call: chain K applications inside ONE jit so a
-    # single dispatch covers all of them (the +i*1e-12 input perturbation
-    # keeps the body loop-variant — LICM would otherwise hoist it)
-    K = 8
+    t_call, t_single = _slope_time(obj_scalar, thetas, Ks=(1, 4))
+    rate = POP / t_call
 
-    @jax.jit
-    def chained(X):
-        def body(i, acc):
-            return acc + objective(X + i.astype(X.dtype) * 1e-12)[0, 0]
-
-        return jax.lax.fori_loop(0, K, body, jnp.zeros((), X.dtype))
-
-    jax.block_until_ready(chained(thetas))  # compile + warmup
-    t0 = time.perf_counter()
-    jax.block_until_ready(chained(thetas))
-    t_device = (time.perf_counter() - t0) / K
-
-    rate = POP / t_stream
     extras = {
         "mfu": round(flops_per_call * rate / POP / V5E_PEAK_FLOPS, 6),
         "hbm_bw_util": round(bytes_per_call * rate / POP / V5E_HBM_BW, 4),
-        "device_busy_frac": round(min(t_device / t_stream, 1.0), 3),
+        "dispatch_overhead_ms": round((t_single - t_call) * 1e3, 1),
         "flops_per_eval": round(flops_per_call / POP),
         "bytes_per_eval": round(bytes_per_call / POP),
+        "vpu_peak_tflops": V5E_VPU_PEAK_F32 / 1e12,
     }
     return rate, b, extras
+
+
+def stage_decomp(b, pop=2048):
+    """Slope-timed stage cut of the objective at ``pop``, with per-stage
+    roofline utilizations (the two stages are ~85% of device time)."""
+    import jax
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.network import expo as X
+    from phoskintime_tpu.network.params import unpack_params
+    from phoskintime_tpu.ops.phi_pallas import (_TAYLOR_TERMS, ladder_len,
+                                                phi_vectors_pallas_pages)
+
+    system = b["system"]
+    topo = system.topo
+    N, w = topo.N, topo.width
+    dtype = jnp.float32
+    (seg_t0, seg_h, seg_jb, out_idx, seg_uidx, u_jb, u_h) = X._segment_plan(
+        tuple(np.asarray(system.kin_grid, float)),
+        tuple(np.asarray(b["grid"], float)), 16.0)
+    bucket_uniq, bucket_inv = np.unique(u_jb, return_inverse=True)
+    lad = max(ladder_len(w, float(h)) for h in u_h)
+    U, S = len(u_h), len(seg_t0)
+    lanes = pop * N
+
+    rng = np.random.default_rng(0)
+    thetas = jnp.asarray(b["theta0"][None] + 0.05 * rng.normal(
+        size=(pop, len(b["theta0"]))), jnp.float32)
+    params_b = jax.jit(jax.vmap(
+        lambda t: unpack_params(t, b["slices"], topo)))(thetas)
+    Ll = jax.jit(lambda pb: X._linear_blocks_lanes(
+        system, pb, bucket_uniq, dtype, N))(params_b)
+    binv32 = np.asarray(bucket_inv, np.int32)
+    h32 = np.asarray(u_h, np.float32)
+
+    # --- phi table build (Pallas pages kernel) ---
+    def phi_scalar(L, eps):
+        E, p1, p2 = phi_vectors_pallas_pages(L + eps, binv32, h32, lad)
+        return E.sum() + p1.sum() + p2.sum()
+
+    t_phi, _ = _slope_time(phi_scalar, Ll, Ks=(1, 5))
+    # plan-bound FLOP model of the build (per lane): Horner E + Taylor
+    # phi vectors + setup, plus the doubling ladder at each pair's
+    # plan-bound length (the runtime tile-max skip can execute less, so
+    # this utilization is an upper bound on useful work).
+    horner = _TAYLOR_TERMS * (2 * w ** 3 + w ** 2)
+    taylor = (_TAYLOR_TERMS - 1) * (2 * w ** 2 + 4 * w)
+    setup = 3 * w ** 2 + 6 * w
+    lad_sum = sum(ladder_len(w, float(h)) for h in u_h)
+    phi_flops = lanes * (U * (horner + taylor + setup)
+                         + lad_sum * (2 * w ** 3 + 5 * w ** 2 + 2 * w))
+    vpu_util_phi = phi_flops / t_phi / V5E_VPU_PEAK_F32
+
+    # --- ETD2RK segment scan (tables prebuilt) ---
+    E_u, Phi1_u, Phi2_u = jax.jit(lambda L: phi_vectors_pallas_pages(
+        L, binv32, h32, lad))(Ll)
+    y0b = jnp.broadcast_to(
+        jnp.asarray(system.y0(), dtype).reshape(-1)[None], (pop, N * w))
+    runs, out_pos = X._run_plan(seg_uidx, out_idx)
+    rhs_m = system.rhs
+    msk_lane = jnp.tile(jnp.transpose(rhs_m.site_mask), (1, pop))
+    drv_lane = jnp.tile(rhs_m.driven, pop)
+    A_b = params_b["A_i"]
+    ts_b = params_b["tf_scale"][:, None]
+    ck_b = params_b["c_k"]
+    bmv_l = lambda M, v: jnp.sum(M * v[None, :, :], axis=1)
+
+    from phoskintime_tpu.network.rhs import synthesis_rate
+
+    def synth_of(yl, jb):
+        tot = yl[1] + jnp.sum(yl[2:] * msk_lane, axis=0)
+        Kt = rhs_m.Kmat[:, jb][None, :] * ck_b
+        Pv = jnp.where(drv_lane, Kt[:, rhs_m.driver_idx].reshape(-1), tot)
+        v = (Pv.reshape(pop, N) @ rhs_m.tf_mat.T) / rhs_m.tf_deg[None]
+        u = v / (1.0 + jnp.abs(v))
+        return synthesis_rate(A_b, ts_b, u).reshape(pop * N)
+
+    def scan_scalar(y0x, eps):
+        yl = jnp.transpose((y0x + eps).reshape(pop * N, w), (1, 0))
+        states = [yl]
+        for start, n in runs:
+            uidx = int(seg_uidx[start])
+            jb = int(seg_jb[start])
+            h = float(seg_h[start])
+            Es, P1 = E_u[uidx], Phi1_u[uidx]
+            P2h = Phi2_u[uidx] * (1.0 / h)
+
+            def step(yl, _, Es=Es, P1=P1, P2h=P2h, jb=jb):
+                s_n = synth_of(yl, jb)
+                a = bmv_l(Es, yl) + P1 * s_n[None, :]
+                s_a = synth_of(a, jb)
+                return a + P2h * (s_a - s_n)[None, :], None
+
+            if n == 1:
+                yl = step(yl, None)[0]
+            else:
+                yl, _ = jax.lax.scan(step, yl, None, length=n)
+            states.append(yl)
+        return jnp.stack(states).sum()
+
+    t_scan, _ = _slope_time(scan_scalar, y0b, Ks=(1, 5))
+    # traffic model per segment: table re-read (E w^2 + p1/p2 2w lanes)
+    # + ~4 state-plane reads/writes + synth intermediates
+    bytes_per_seg = ((w * w + 2 * w) + 4 * w + 4) * lanes * 4
+    hbm_util_scan = bytes_per_seg * S / t_scan / V5E_HBM_BW
+
+    from phoskintime_tpu.network.objective import make_population_objective
+
+    obj = make_population_objective(
+        b["system"], b["slices"], b["loss_data"], b["defaults"],
+        b["lambdas"], b["grid"], pop_chunk=None)
+    t_obj, _ = _slope_time(lambda t, eps: obj(t + eps)[0, 0], thetas,
+                           Ks=(1, 4))
+
+    return {
+        "pop": pop,
+        "objective_ms": round(t_obj * 1e3, 2),
+        "phi_build_ms": round(t_phi * 1e3, 2),
+        "scan_ms": round(t_scan * 1e3, 2),
+        "vpu_util_phi": round(vpu_util_phi, 3),
+        "hbm_util_scan": round(hbm_util_scan, 3),
+        "phi_flops_planbound": int(phi_flops),
+        "scan_bytes_model": int(bytes_per_seg * S),
+    }
 
 
 def scipy_single_core_rate(b):
@@ -213,9 +361,6 @@ def accuracy_vs_lsoda(b, Y_lsoda):
     times = np.asarray(b["grid"], float)
     # the BATCHED path (P=1) — the exact code the throughput metric runs,
     # including the Pallas propagator-table kernel on TPU.
-    # Oracle tolerance: rtol 1e-7 (round 4) — at the earlier rtol 1e-5
-    # most of the measured 4.4e-3 "gate" was the ORACLE's own
-    # discretization error, not ours (tight-oracle comparison: 3.5e-4)
     p_b = {k: jnp.asarray(v, jnp.float32)[None] for k, v in b["true"].items()}
     ys, success = exponential_simulate_batched(system, p_b, times)
     assert bool(success[0]), "ETD2RK reported failure at true params"
@@ -274,6 +419,7 @@ def northstar_10k_ensemble():
 
 def main():
     rate, b, extras = tpu_rate()
+    decomp = stage_decomp(b)
     cpu_rate, Y_lsoda = scipy_single_core_rate(b)
     acc = accuracy_vs_lsoda(b, Y_lsoda)
     ns10k = northstar_10k_ensemble()
@@ -284,11 +430,13 @@ def main():
     print(json.dumps({
         "metric": "global_model_objective_evals_per_s",
         "value": round(rate, 2),
-        "unit": "evals/s (pop=8192, N=40 proteins, ETD2RK + 3-mod loss)",
+        "unit": "evals/s (pop=8192, N=40 proteins, ETD2RK + 3-mod loss, "
+                "slope-timed)",
         "vs_baseline": round(rate / baseline, 3),
         "accuracy_rel_err": round(acc, 6),
         "scipy_live_evals_per_s": round(cpu_rate, 4),
         "northstar_10k_ensemble": ns10k,
+        "profile_decomp": decomp,
         **extras,
     }))
 

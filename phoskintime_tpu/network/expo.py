@@ -884,14 +884,37 @@ def exponential_simulate_batched(system, params_b, t_eval,
     def from_lanes(yl):                                  # (w, PN) -> (P, N, w)
         return jnp.transpose(yl, (1, 0)).reshape(P, N, w)
 
+    # lane-native synthesis: the scan state lives as (w, P*N) lane
+    # planes with member-major lanes, so the total-protein sum is a
+    # masked reduction over slot planes and the (PN,) -> (P, N) view
+    # for the TF matvec is a FREE reshape — the earlier from_lanes
+    # round-trip was two (w, PN) <-> (PN, w) relayouts per segment
+    # (~0.6 GB of pure transpose traffic over the 133-segment plan).
+    rhs_m = system.rhs
+    if topo.model == 2:
+        stm_lane = jnp.tile(jnp.transpose(rhs_m.state_mask), (1, P))
+    else:
+        msk_lane = jnp.tile(jnp.transpose(rhs_m.site_mask), (1, P))
+    drv_lane = jnp.tile(rhs_m.driven, P)
+    didx_j = rhs_m.driver_idx
+    A_b = params_b["A_i"]                            # (P, N)
+    ts_b = params_b["tf_scale"][:, None]             # (P, 1)
+    ck_b = params_b["c_k"]                           # (P, K)
+
     def synth_of(yl, jb):
         """g(y) = rhs(y) - L y collapses to the synthesis drive in the R
         slot for the affine mechanisms — computed directly instead of
         evaluating the full RHS and subtracting the L-matvec."""
-        Yb = from_lanes(yl)
-        s = jax.vmap(lambda yy, pp: system.rhs.synthesis_vector(
-            yy, system.rhs.kinase_activity(pp, jb), pp))(Yb, params_b)
-        return s.reshape(P * N)
+        if topo.model == 2:
+            tot = jnp.sum(yl[1:] * stm_lane, axis=0)            # (PN,)
+        else:
+            tot = yl[1] + jnp.sum(yl[2:] * msk_lane, axis=0)    # (PN,)
+        jbc = jnp.clip(jb, 0, rhs_m.Kmat.shape[1] - 1)
+        Kt = rhs_m.Kmat[:, jbc][None, :] * ck_b                 # (P, K)
+        Pv = jnp.where(drv_lane, Kt[:, didx_j].reshape(-1), tot)
+        v = (Pv.reshape(P, N) @ rhs_m.tf_mat.T) / rhs_m.tf_deg[None]
+        u = v / (1.0 + jnp.abs(v))
+        return synthesis_rate(A_b, ts_b, u).reshape(P * N)
 
     if classes:
         # synthesis computed DIRECTLY on class-permuted topology tensors
