@@ -417,8 +417,44 @@ def northstar_10k_ensemble():
     }
 
 
+def pallas_device_gate():
+    """Compile-and-run BOTH production Pallas phi kernels on the real
+    device at tiny shapes (the test suite runs them interpret-mode on
+    CPU only, which cannot catch Mosaic lowering rejections — e.g. of
+    the value-carrying lax.cond in the squaring-ladder runtime skip).
+    Returns {"pages_ok": bool, "all_ok": bool}; a False here means the
+    corresponding production route would crash, so main() asserts."""
+    import jax.numpy as jnp
+
+    from phoskintime_tpu.ops.phi_pallas import (ladder_len,
+                                                phi_vectors_pallas_all,
+                                                phi_vectors_pallas_pages)
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for name, w, fn in [("pages_ok", 6, phi_vectors_pallas_pages),
+                        ("all_ok", 17, phi_vectors_pallas_all)]:
+        L = rng.normal(0, 0.3, (2, w, w, 1024)).astype(np.float32)
+        for i in range(w):
+            L[:, i, i, :] = -rng.uniform(0.05, 8.0, (2, 1024))
+        h_u = np.asarray([0.5, 16.0], np.float32)
+        lad = max(ladder_len(w, float(h)) for h in h_u)
+        try:
+            E, p1, p2 = fn(jnp.asarray(L),
+                           np.asarray([0, 1], np.int32), h_u, lad)
+            out[name] = bool(jnp.all(jnp.isfinite(E))
+                             and jnp.all(jnp.isfinite(p1))
+                             and jnp.all(jnp.isfinite(p2)))
+        except Exception:
+            out[name] = False
+    return out
+
+
 def main():
     rate, b, extras = tpu_rate()
+    gate = pallas_device_gate()
+    assert all(gate.values()), f"Pallas device gate failed: {gate}"
+    extras["pallas_device_gate"] = gate
     decomp = stage_decomp(b)
     cpu_rate, Y_lsoda = scipy_single_core_rate(b)
     acc = accuracy_vs_lsoda(b, Y_lsoda)

@@ -75,6 +75,54 @@ def identifiable_basis(b, theta_star, jac_chunk=256):
     return sig, Vt.T                               # V columns = directions
 
 
+def _fps_starts(X, F_sum, K, scale):
+    """Diversity-aware multistart selection: greedy farthest-point
+    sampling over the polished set, seeded at the best scalarized F.
+
+    Top-K-by-F (the round-4 rule) samples ONE basin K times whenever the
+    front's best members cluster — measured on the 10k cold-start front
+    the top-16 by F were pairwise closer than the basin-merge threshold.
+    FPS instead maximizes the minimum pairwise start distance, i.e. it
+    covers as many distinct basins as K allows. Candidates are gated to
+    the better half by F so diversity never spends starts on unpolished
+    stragglers."""
+    order = np.argsort(F_sum)
+    cand = order[: max(K, len(order) // 2)]
+    chosen = [cand[0]]
+    d_min = np.full(len(cand), np.inf)
+    for _ in range(1, min(K, len(cand))):
+        d = np.linalg.norm((X[cand] - X[chosen[-1]]) / scale, axis=1)
+        d_min = np.minimum(d_min, d)
+        d_min[np.isin(cand, chosen)] = -1.0
+        chosen.append(cand[int(np.argmax(d_min))])
+    return np.asarray(chosen)
+
+
+def _cluster_basins(X, scale, rel_tol=0.05):
+    """Greedy single-linkage clustering of optimizer endpoints into
+    basins: two endpoints share a basin iff their scale-normalized rms
+    coordinate distance is < rel_tol. Returns a label array."""
+    n = len(X)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = np.sqrt(np.mean(((X[i] - X[j]) / scale) ** 2))
+            if d < rel_tol:
+                parent[find(i)] = find(j)
+    roots = {}
+    labels = np.empty(n, int)
+    for i in range(n):
+        labels[i] = roots.setdefault(find(i), len(roots))
+    return labels
+
+
 def stage_metrics(name, b, theta, sig, V, theta_star, extra=None):
     """One JSON line: observable + identifiable-subspace errors."""
     from benchmarks.bench_suite import _observable_recovery
@@ -115,10 +163,18 @@ def main():
                          "device-loop GA, whose front can be thousands "
                          "of members)")
     ap.add_argument("--lm-iters", type=int, default=40)
+    ap.add_argument("--lm-iters-hi", type=int, default=12,
+                    help="(--mixed-finish) f64 finish iterations")
     ap.add_argument("--lm-starts", type=int, default=1,
-                    help="LM multistart: finish from the top-K polished "
-                         "members by scalarized F (distinct basins), "
+                    help="LM multistart: finish from K polished members, "
                          "keep the best SSE")
+    ap.add_argument("--diverse-starts", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="pick the K multistart points by farthest-point "
+                         "sampling over the polished set (basin COVERAGE) "
+                         "instead of top-K by scalarized F (which samples "
+                         "one basin K times when the front's best members "
+                         "cluster)")
     ap.add_argument("--near-truth", action="store_true",
                     help="skip GA/Adam; run the LM finish alone from "
                          "theta* + 5%% relative noise. Separates optimizer "
@@ -128,6 +184,13 @@ def main():
                          "residual error measures.")
     ap.add_argument("--perturb", type=float, default=0.05,
                     help="relative perturbation scale for --near-truth")
+    ap.add_argument("--mixed-finish", action="store_true",
+                    help="(--near-truth only) after the working-dtype LM "
+                         "converges to its rounding floor, run a float64-"
+                         "system finish ON THE SAME BACKEND "
+                         "(polish.lm_refine_mixed). Enables x64 process-"
+                         "wide; the identifiable basis and stage metrics "
+                         "for the finish run through the f64 system.")
     ap.add_argument("--self-consistent", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="(--near-truth only) minimize ||r(theta)-r(theta*)||^2 "
@@ -157,6 +220,11 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    elif args.mixed_finish:
+        # f64 finish stage runs on the TPU itself: x64 must be on before
+        # any tracing (f32 programs keep f32 via their explicit dtypes)
+        import jax
+        jax.config.update("jax_enable_x64", True)
 
     from phoskintime_tpu.demo import build_demo_network
     from phoskintime_tpu.network.optimize import run_global_fit
@@ -179,8 +247,14 @@ def main():
     theta_star = np.asarray(b["theta_true"], np.float64)
     n_var = theta_star.size
 
+    # mixed-finish metrics run through the f64 system — the exact model
+    # whose f32 tensors the production system rounds from (lossless
+    # upward cast; Kmat/grid/y0 are stored at full host precision)
+    b_hi = (dict(b, system=b["system"].astype(np.float64))
+            if args.mixed_finish else b)
+
     t0 = time.perf_counter()
-    sig, V = identifiable_basis(b, theta_star)
+    sig, V = identifiable_basis(b_hi, theta_star)
     print(json.dumps({"stage": "jacobian_at_truth", "n_var": n_var,
                       "n_residuals": "svd", "cond": float(f"{sig[0] / sig[-1]:.4g}"),
                       "sigma_max": float(f"{sig[0]:.4g}"),
@@ -224,6 +298,36 @@ def main():
         stage_metrics(stage, b, th_lm, sig, V, theta_star,
                       {"wall_s": round(time.perf_counter() - t0, 1),
                        "sse": float(f"{sse:.6g}"), "iters": args.lm_iters})
+        if args.mixed_finish:
+            # ---- f64-system finish on the SAME backend ----------------
+            from phoskintime_tpu.network.polish import lm_refine_mixed
+
+            r_off_hi = None
+            if args.self_consistent:
+                import jax
+                import jax.numpy as jnp
+
+                from phoskintime_tpu.network.objective import \
+                    make_residual_fn
+                res_hi = jax.jit(make_residual_fn(
+                    b_hi["system"], b["slices"], b["loss_data"],
+                    b["defaults"], b["lambdas"], b["grid"]))
+                r_off_hi = np.asarray(res_hi(
+                    jnp.asarray(theta_star, jnp.float64)))
+            t0 = time.perf_counter()
+            th_mx, sse_mx = lm_refine_mixed(
+                b["system"], b["slices"], b["loss_data"], b["defaults"],
+                b["lambdas"], b["grid"], th_lm, b["xl"], b["xu"],
+                iters_lo=0, iters_hi=args.lm_iters_hi,
+                r_offset_hi=r_off_hi)
+            stage_metrics(stage + "_mixed_f64_finish", b_hi, th_mx, sig, V,
+                          theta_star,
+                          {"wall_s": round(time.perf_counter() - t0, 1),
+                           "sse_f64": float(f"{sse_mx:.6g}"),
+                           "iters_hi": args.lm_iters_hi})
+            stage_metrics("floor_truth_f64", b_hi, theta_star, sig, V,
+                          theta_star,
+                          {"note": "theta* through the f64 pipeline"})
         stage_metrics("floor_truth", b, theta_star, sig, V, theta_star,
                       {"note": "theta* through the same pipeline: the"
                                " dtype/integrator noise floor"})
@@ -261,20 +365,77 @@ def main():
 
     # ---- stage 2: exact-Jacobian LM finish (multistart over basins) ----
     t0 = time.perf_counter()
-    pXa = np.asarray(pX)
-    order = np.argsort(np.asarray(pF).sum(axis=1))
-    starts = pXa[order[: max(1, args.lm_starts)]]
+    pXa, pFs = np.asarray(pX), np.asarray(pF).sum(axis=1)
+    K = max(1, args.lm_starts)
+    scale = np.maximum(np.std(pXa, axis=0), 1e-3)
+    if args.diverse_starts and len(pXa) > K:
+        idx = _fps_starts(pXa, pFs, K, scale)
+    else:
+        idx = np.argsort(pFs)[:K]
+    # how many basins does the polished front itself cover?
+    lab_front = _cluster_basins(pXa[np.argsort(pFs)[: max(64, K)]], scale)
+    print(json.dumps({"stage": "2_front_coverage",
+                      "n_polished_considered": int(len(lab_front)),
+                      "n_front_basins": int(lab_front.max() + 1),
+                      "starts_mode": ("fps" if args.diverse_starts
+                                      else "top_by_F")}), flush=True)
+    ends, sses = [], []
     th_lm, sse = None, np.inf
-    for k, th0 in enumerate(starts):
+    for k, th0 in enumerate(pXa[idx]):
         th_k, sse_k = lm_refine(b["system"], b["slices"], b["loss_data"],
                                 b["defaults"], b["lambdas"], b["grid"],
                                 th0, b["xl"], b["xu"], iters=args.lm_iters)
+        ends.append(np.asarray(th_k, np.float64))
+        sses.append(float(sse_k))
+        d = ends[-1] - theta_star
+        proj = np.abs(V.T @ d) / (1.0 + np.abs(V.T @ theta_star))
+        m = sig >= 1e-2 * sig[0]
+        print(json.dumps({"stage": "2_lm_start", "k": k,
+                          "sse": float(f"{sse_k:.6g}"),
+                          "strong_median_rel_err":
+                              float(f"{np.median(proj[m]):.4g}")}),
+              flush=True)
         if sse_k < sse:
             th_lm, sse = th_k, sse_k
     stage_metrics("2_lm_finish", b, th_lm, sig, V, theta_star,
                   {"wall_s": round(time.perf_counter() - t0, 1),
                    "sse": float(f"{sse:.6g}"), "iters": args.lm_iters,
-                   "starts": int(len(starts))})
+                   "starts": int(len(idx))})
+
+    # ---- basin analysis over the LM endpoints -------------------------
+    # (the quantified fallback: if the landscape defeats the ladder, say
+    # exactly how — basin count, per-basin quality, truth-basin reach)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from phoskintime_tpu.network.objective import make_residual_fn
+    res_fn = _jax.jit(make_residual_fn(b["system"], b["slices"],
+                                       b["loss_data"], b["defaults"],
+                                       b["lambdas"], b["grid"]))
+    wdt = b["system"].rhs.W_pad.dtype
+    r_star = np.asarray(res_fn(_jnp.asarray(theta_star, wdt)))
+    sse_star = float(r_star @ r_star)
+    E, S = np.asarray(ends), np.asarray(sses)
+    labels = _cluster_basins(E, scale)
+    basins = []
+    m = sig >= 1e-2 * sig[0]
+    for bi in range(labels.max() + 1):
+        sel = labels == bi
+        kb = int(np.flatnonzero(sel)[np.argmin(S[sel])])
+        d = E[kb] - theta_star
+        proj = np.abs(V.T @ d) / (1.0 + np.abs(V.T @ theta_star))
+        basins.append({"size": int(sel.sum()),
+                       "best_sse": float(f"{S[sel].min():.6g}"),
+                       "strong_median_rel_err":
+                           float(f"{np.median(proj[m]):.4g}")})
+    basins.sort(key=lambda r: r["best_sse"])
+    print(json.dumps({"stage": "2_basin_analysis",
+                      "n_starts": int(len(E)),
+                      "n_endpoint_basins": int(labels.max() + 1),
+                      "sse_at_truth": float(f"{sse_star:.6g}"),
+                      "truth_basin_reached":
+                          bool(S.min() <= max(100.0 * sse_star, 1e-6)),
+                      "basins": basins}), flush=True)
 
     # floor reference: the truth itself through the same metrics (its
     # "error" is the dtype/integrator noise floor)

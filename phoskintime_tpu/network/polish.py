@@ -190,6 +190,52 @@ def gradient_multistart(system, slices, loss_data, defaults, lambdas,
                             seed=seed, mesh=mesh)
 
 
+def lm_refine_mixed(system, slices, loss_data, defaults, lambdas, time_grid,
+                    theta, xl, xu, *, iters_lo: int = 25,
+                    iters_hi: int = 10, r_offset_lo=None, r_offset_hi=None,
+                    logger=None, **kw):
+    """Mixed-precision LM finish: working-dtype LM to its rounding floor,
+    then a float64-system finish from the converged point — ON THE SAME
+    BACKEND (f64 runs on this TPU platform; compile is slow, execution
+    viable).
+
+    Why: the f32 forward pass floors the attainable parameter match at
+    ~5e-5 relative (measured, N=150 — the residual and Jacobian entries
+    carry f32 rounding, so no amount of f64 normal-equation algebra can
+    descend further). The few extra iterations at f64 re-evaluate r and J
+    at full precision exactly where the quadratic convergence regime has
+    already been reached, recovering the f64 floor (~1e-6) for the cost
+    of ``iters_hi`` f64 sweeps instead of a whole f64 fit.
+
+    Requires x64 enabled (``jax.config.update("jax_enable_x64", True)``)
+    before first use; raises otherwise rather than silently downcasting.
+
+    ``r_offset_lo/hi``: optional self-consistent residual offsets, one
+    per precision stage (the offset must live in each stage's own
+    residual space — see :func:`lm_refine`'s ``r_offset``).
+
+    Returns (theta_refined (f64), sse_f64). Reference anchor: the north
+    star's "matching reference parameters to 1e-6 rtol" (BASELINE.md);
+    the reference has no counterpart stage at all (LSODA is not
+    differentiable)."""
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "lm_refine_mixed needs x64 enabled before any tracing: "
+            'jax.config.update("jax_enable_x64", True)')
+    th, sse = lm_refine(system, slices, loss_data, defaults, lambdas,
+                        time_grid, theta, xl, xu, iters=iters_lo,
+                        r_offset=r_offset_lo, logger=logger, **kw)
+    if logger is not None:
+        logger.info(f"[LM mixed] low-precision stage done: sse={sse:.6g}")
+    sys_hi = system.astype(np.float64)
+    th, sse = lm_refine(sys_hi, slices, loss_data, defaults, lambdas,
+                        time_grid, th, xl, xu, iters=iters_hi,
+                        r_offset=r_offset_hi, logger=logger, **kw)
+    return th, sse
+
+
 def lm_refine(system, slices, loss_data, defaults, lambdas, time_grid,
               theta, xl, xu, *, iters: int = 15, cg_iters: int = 25,
               mu0: float = 1e-3, y0=None, logger=None,

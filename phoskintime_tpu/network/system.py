@@ -91,3 +91,18 @@ class GlobalSystem:
     def rhs_flat(self, params):
         """Bucketed RHS closure for the integrator: (t, y_flat, jb) -> dy."""
         return lambda t, y, jb: self.rhs(t, y, jb, params)
+
+    def astype(self, dtype) -> "GlobalSystem":
+        """Same topology/input/y0 re-materialized at another working dtype.
+
+        Static inputs (Kmat, grid, y0) are kept at full f64 host precision
+        in this dataclass, so the cast is lossless upward: the float64
+        variant is the EXACT model whose f32 tensors the production system
+        rounds from. Used by the mixed-precision LM finish
+        (:func:`phoskintime_tpu.network.polish.lm_refine_mixed`) — f64 on
+        TPU requires ``jax.config.update("jax_enable_x64", True)`` before
+        any tracing."""
+        if dtype == self.dtype:
+            return self
+        return GlobalSystem(self.topo, self.kin_grid, self.Kmat,
+                            custom_y0=self.custom_y0, dtype=dtype)

@@ -347,3 +347,43 @@ class TestLMRefine:
                                     grid, th0, xl, xu, iters=12,
                                     r_offset=r_off)
         assert sse_rec < max(1e-10, 0.01 * max(sse_raw_floor, 1e-30))
+
+
+class TestLMRefineMixed:
+    """Mixed-precision finish: f32-system LM to its rounding floor, then
+    a float64-system finish from the converged point (the north-star
+    1e-6 parameter-match route on the TPU path)."""
+
+    def test_f64_finish_descends_past_f32_floor(self):
+        from phoskintime_tpu.network.objective import make_residual_fn
+        from phoskintime_tpu.network.polish import lm_refine, lm_refine_mixed
+
+        sys, topo, slices, ld, defaults, grid, theta0, xl, xu = _setup()
+        sys32 = sys.astype(np.float32)
+        assert sys32.rhs.W_pad.dtype == jnp.float32
+        assert sys32.astype(sys32.dtype) is sys32  # no-op cast
+
+        true = tiny_problem(0)[2]
+        th_star, _, _, _ = init_raw_params(true, topo, BOUNDS)
+        th_star = np.clip(np.asarray(th_star, float), xl, xu)
+        # self-consistent offsets, one per precision's own residual space
+        res32 = make_residual_fn(sys32, slices, ld, defaults, LAMBDAS, grid)
+        res64 = make_residual_fn(sys, slices, ld, defaults, LAMBDAS, grid)
+        r32 = np.asarray(res32(jnp.asarray(th_star, jnp.float32)))
+        r64 = np.asarray(res64(jnp.asarray(th_star, jnp.float64)))
+
+        rng = np.random.default_rng(5)
+        th0 = np.clip(th_star + 0.02 * rng.standard_normal(th_star.size)
+                      * (1 + np.abs(th_star)), xl, xu)
+        # f32-only: converges to the f32 rounding floor, not below
+        _, sse32 = lm_refine(sys32, slices, ld, defaults, LAMBDAS, grid,
+                             th0, xl, xu, iters=12, r_offset=r32)
+        th_mx, sse_mx = lm_refine_mixed(
+            sys32, slices, ld, defaults, LAMBDAS, grid, th0, xl, xu,
+            iters_lo=12, iters_hi=8, r_offset_lo=r32, r_offset_hi=r64)
+        # the f64 finish must descend orders of magnitude past the f32
+        # floor (zero-residual formulation: theta* is the exact min)
+        assert sse_mx < 1e-13
+        assert sse_mx < 1e-3 * max(sse32, 1e-30)
+        assert np.all(th_mx >= np.asarray(xl) - 1e-6)
+        assert np.all(th_mx <= np.asarray(xu) + 1e-6)
