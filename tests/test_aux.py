@@ -443,6 +443,7 @@ class TestEagerX64:
     working_dtype() call — arrays created in between would otherwise get
     f32 semantics silently (round-2/3 advisor finding)."""
 
+    @pytest.mark.slow
     def test_array_created_before_first_working_dtype_call_is_f64(self):
         import subprocess
         import sys

@@ -52,6 +52,7 @@ class TestHyperparameterScan:
         s, i = _weighted_score(F)
         assert i == 1 and s == pytest.approx(3.0)
 
+    @pytest.mark.slow
     def test_scan_returns_best(self, tiny):
         from phoskintime_tpu.network.scan import run_hyperparameter_scan
 
@@ -275,6 +276,7 @@ class TestSolverVariants:
         np.testing.assert_allclose(F_ex, F_rk, rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestCLIEvol:
     def test_kinopt_tfopt_evol_modes(self, tmp_path):
         import pandas as pd
@@ -428,6 +430,7 @@ class TestThermalVariant:
         assert err < 1e-3
 
 
+@pytest.mark.slow
 class TestScanDepth:
     """Round-3 scan features: real pruning, components, resume, report
     (reference global_model/scan.py:62-332)."""
@@ -496,6 +499,7 @@ class TestScanDepth:
         assert [t.lambdas for t in t2[:2]] == [t.lambdas for t in t1]
 
 
+@pytest.mark.slow
 class TestMechanismSelection:
     """Round-3 model-selection pipeline: fit all mechanisms on the same
     data, AIC/BIC table + artifacts (reference scripts/compare_mechanisms.py)."""

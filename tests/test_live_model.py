@@ -293,7 +293,8 @@ def _js_mirror_solve(D, p, times):
 class TestJSMirrorParity:
     """The algorithm the JS encodes == the production jax pipeline."""
 
-    @pytest.mark.parametrize("model", [0, 1, 2, 4])
+    @pytest.mark.parametrize(
+        "model", [0, 1, pytest.param(2, marks=pytest.mark.slow), 4])
     def test_mirror_matches_simulate(self, model, tmp_path):
         import jax.numpy as jnp
 

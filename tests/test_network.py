@@ -299,6 +299,7 @@ class TestLossAndObjective:
         assert float(lp) == pytest.approx(direct, rel=1e-10)
         assert np.isfinite(float(lr)) and np.isfinite(float(lph))
 
+    @pytest.mark.slow
     def test_objective_and_population_sharding(self):
         topo, Kmat = small_net()
         sys = GlobalSystem(topo, GRID, Kmat)
@@ -326,6 +327,7 @@ class TestLossAndObjective:
         F_ref = np.asarray(evaluate_population(obj, pop))
         np.testing.assert_allclose(F, F_ref, rtol=1e-9)
 
+    @pytest.mark.slow
     def test_uneven_population_padding_under_mesh(self):
         """P % n_devices != 0: make_batched_evaluate pads to a mesh
         multiple and strips the padding; results must equal the unsharded
@@ -406,6 +408,7 @@ class TestSoftplus:
         assert y[3] == pytest.approx(700.0)
 
 
+@pytest.mark.slow
 class TestShardedExpoObjective:
     def test_population_objective_sharded_matches(self):
         """The ETD2RK batched objective partitions over the mesh population

@@ -38,6 +38,7 @@ def synth_gene(model: str, n: int, seed: int):
 
 
 class TestNormest:
+    @pytest.mark.slow
     def test_recovers_distributive_params(self):
         n = 2
         true, y0, pr, p, r = synth_gene("distmod", n, 5)
@@ -48,6 +49,7 @@ class TestNormest:
         assert res.error < 1e-8
         np.testing.assert_allclose(res.params, true, rtol=5e-2)
 
+    @pytest.mark.slow
     def test_regularized_fit_runs_and_reports(self):
         n = 1
         true, y0, pr, p, r = synth_gene("distmod", n, 6)
@@ -60,6 +62,7 @@ class TestNormest:
         assert np.all(res.ci["upr_ci"] >= res.ci["lwr_ci"])
         assert res.error < 1e-2
 
+    @pytest.mark.slow
     def test_randmod_log_space(self):
         n = 1
         true, y0, pr, p, r = synth_gene("randmod", n, 7)
@@ -71,6 +74,7 @@ class TestNormest:
         # popt_raw in log space, params = exp(popt_raw)
         np.testing.assert_allclose(res.params, np.exp(res.popt_raw), rtol=1e-12)
 
+    @pytest.mark.slow
     def test_bootstrap_axis(self):
         n = 1
         true, y0, pr, p, r = synth_gene("distmod", n, 8)
@@ -126,6 +130,7 @@ class TestKnockout:
         assert row[1] == 1 and row[3] == 1  # degradation untouched
 
 
+@pytest.mark.slow
 class TestNormestBatch:
     def test_matches_single_gene_path(self):
         """Cohort-batched fit must reproduce the per-gene fit exactly

@@ -73,6 +73,7 @@ class TestPhiTablesPallas:
             L[i, i, :] = -rng.uniform(0.01, 25.0, B)
         return jnp.asarray(L)
 
+    @pytest.mark.slow
     def test_matches_xla_ladder(self):
         from phoskintime_tpu.network.expo import _phi_vectors_lanes
         from phoskintime_tpu.ops.phi_pallas import (ladder_len,
@@ -105,6 +106,7 @@ class TestPhiTablesPallas:
         np.testing.assert_allclose(np.asarray(p2[0]), 2.0, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(p1[1:]), 0.0, atol=1e-9)
 
+    @pytest.mark.slow
     def test_wide_block_auto_blk(self):
         """w=17 (combinatorial mechanism): auto block size must shrink so
         the kernel fits VMEM (regression: model-2 objective OOM'd at the
@@ -133,6 +135,7 @@ class TestPhiTablesPallas:
 class TestPhiPallasAll:
     """All-pairs kernel (one pallas_call for every (bucket, h) pair)."""
 
+    @pytest.mark.slow
     def test_matches_per_pair(self):
         from phoskintime_tpu.ops.phi_pallas import (ladder_len,
                                                     phi_vectors_pallas,
@@ -177,6 +180,7 @@ class TestPhiPallasAll:
         assert bool(jnp.all(jnp.isfinite(E)))
 
 
+@pytest.mark.slow
 class TestPhiPallasPages:
     """Pages-layout all-pairs kernel (matrix entries as leading-dim vreg
     pages; the production route for the affine mechanisms' w <= 8)."""
@@ -242,6 +246,7 @@ class TestScanMegakernel:
                 0.8, 1.2, (P,) + v.shape).astype(np.float32))
         return sys_, pb
 
+    @pytest.mark.slow
     def test_parity_models(self):
         from test_expo import GRID
         from phoskintime_tpu.network.expo import exponential_simulate_batched
