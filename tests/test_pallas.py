@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from phoskintime_tpu.ops.pallas_kernels import (
     hypercube_flux_pallas,
