@@ -618,6 +618,7 @@ def exponential_simulate_batched(system, params_b, t_eval,
                                  differentiable: bool = False,
                                  width_bucketing: bool | None = None,
                                  use_scan_kernel: bool | None = None,
+                                 use_kron: bool | None = None,
                                  return_observables: bool = False):
     """Natively-batched ETD2RK: params_b leaves carry a leading population
     axis P; returns (ys (P, T, d), success (P,)).
@@ -683,6 +684,31 @@ def exponential_simulate_batched(system, params_b, t_eval,
         if return_observables:
             return _obs_from_ys(system, ys), success
         return ys, success
+
+    # --- Kronecker-factorized combinatorial path (round 5): exact
+    # per-site 2×2 propagator factors replace the O(w³·ladder) table
+    # build; the −D·δ₀ mask-0 correction and the C·R translation move
+    # into the explicit remainder g (see network/kron.py). OPT-IN ONLY:
+    # the re-splitting that makes the factors exact puts the mask-0
+    # decay under an RK2-style explicit stability bound h·D ≲ 2, which
+    # the production segment plan (h up to 16) violates — measured
+    # divergence at substep 4, exact parity at substep ≤ 0.5
+    # (tests/test_kron.py). The full negative result — why no stable
+    # O(1)-apply factorization of the corrected operator exists — is
+    # documented in benchmarks/RESULTS_r5.md and network/kron.py.
+    if topo.model == 2:
+        if use_kron is None:
+            use_kron = False
+        if use_kron:
+            from phoskintime_tpu.network.kron import kron_simulate_batched
+
+            ys, success = kron_simulate_batched(
+                system, params_b, y0b,
+                (seg_t0, seg_h, seg_jb, out_idx, seg_uidx, u_jb, u_h),
+                dtype)
+            if return_observables:
+                return _obs_from_ys(system, ys), success
+            return ys, success
 
     bucket_uniq, bucket_inv = np.unique(u_jb, return_inverse=True)
 
