@@ -90,7 +90,18 @@ def _slope_time(make_scalar, x, Ks=(1, 4), n=3):
             def body(i, acc):
                 return acc + make_scalar(t, acc * 1e-20)
             return jax.lax.fori_loop(0, K, body, jnp.zeros((), jnp.float32))
-        r = chained(x)
+        # the axon tunnel's remote_compile endpoint occasionally drops the
+        # connection mid-body (INTERNAL: response body closed...); the
+        # compile is stateless, so retry the warming call a few times
+        # before letting the bench die
+        for attempt in range(3):
+            try:
+                r = chained(x)
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(5.0)
         _ = float(r)
         ts = []
         for _i in range(n):
